@@ -1,0 +1,176 @@
+"""Driver-side distribution math (numpy only — no scipy in this environment).
+
+Replaces the reference's scipy calls:
+- ``scipy.stats.chisquare`` in dataset.py:3809 -> ``chisquare``
+- ``scipy.stats.entropy(pk, qk)`` in dataset.py:4114 -> ``kl_divergence``
+- ``scipy.stats.kstest`` in column_bootstrapped_ks_test_p_value.py:134 ->
+  two-sample KS over sketch CDFs (``ks_2samp_from_hist``) with the
+  asymptotic Kolmogorov p-value.
+
+The incomplete-gamma implementation is the classic series/continued-fraction
+split (Numerical Recipes §6.2; public-domain algorithm).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def _gammainc_lower_series(a: float, x: float, eps: float = 1e-14, itmax: int = 500) -> float:
+    """Regularized lower incomplete gamma P(a, x) by series (x < a+1)."""
+    if x <= 0.0:
+        return 0.0
+    ap = a
+    summ = 1.0 / a
+    delta = summ
+    for _ in range(itmax):
+        ap += 1.0
+        delta *= x / ap
+        summ += delta
+        if abs(delta) < abs(summ) * eps:
+            break
+    return summ * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def _gammainc_upper_cf(a: float, x: float, eps: float = 1e-14, itmax: int = 500) -> float:
+    """Regularized upper incomplete gamma Q(a, x) by continued fraction (x >= a+1)."""
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, itmax + 1):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            break
+    return h * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def gammainc_upper(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x)."""
+    if x < 0 or a <= 0:
+        return float("nan")
+    if x == 0:
+        return 1.0
+    if x < a + 1.0:
+        return 1.0 - _gammainc_lower_series(a, x)
+    return _gammainc_upper_cf(a, x)
+
+
+def chi2_sf(stat: float, dof: int) -> float:
+    """Survival function of the chi-square distribution: P(X >= stat)."""
+    if dof <= 0:
+        return float("nan")
+    return gammainc_upper(dof / 2.0, stat / 2.0)
+
+
+def chisquare(observed, expected) -> tuple[float, float]:
+    """One-sample chi-square test; returns (statistic, p_value).
+
+    Matches scipy.stats.chisquare semantics: dof = k - 1.
+    """
+    obs = np.asarray(observed, dtype=float)
+    exp = np.asarray(expected, dtype=float)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = np.where(exp > 0, (obs - exp) ** 2 / exp, np.where(obs > 0, np.inf, 0.0))
+    stat = float(np.sum(terms))
+    dof = obs.size - 1
+    return stat, chi2_sf(stat, dof)
+
+
+def chi2_contingency(table) -> tuple[float, float, int]:
+    """Pearson chi-square on an r x c contingency table -> (stat, p, dof)."""
+    t = np.asarray(table, dtype=float)
+    n = t.sum()
+    if n == 0:
+        return 0.0, 1.0, 0
+    exp = np.outer(t.sum(axis=1), t.sum(axis=0)) / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = np.where(exp > 0, (t - exp) ** 2 / exp, 0.0)
+    stat = float(terms.sum())
+    dof = (t.shape[0] - 1) * (t.shape[1] - 1)
+    return stat, chi2_sf(stat, dof) if dof > 0 else 1.0, dof
+
+
+def cramers_v(table) -> float:
+    """Cramer's phi/V from a contingency table, clamped to [0, 1].
+
+    Same formula as the reference (dataset/dataset.py:4369-4440)."""
+    t = np.asarray(table, dtype=float)
+    n = t.sum()
+    if n == 0:
+        return 0.0
+    stat, _, _ = chi2_contingency(t)
+    k = min(t.shape) - 1
+    if k <= 0:
+        return 0.0
+    return float(np.clip(math.sqrt(stat / n / k), 0.0, 1.0))
+
+
+def kolmogorov_sf(lam: float, terms: int = 100) -> float:
+    """Asymptotic Kolmogorov distribution survival Q(lam) = 2 sum (-1)^{k-1} e^{-2 k^2 lam^2}."""
+    if lam <= 0:
+        return 1.0
+    total = 0.0
+    for k in range(1, terms + 1):
+        term = 2.0 * (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+        total += term
+        if abs(term) < 1e-16:
+            break
+    return float(min(max(total, 0.0), 1.0))
+
+
+def ks_2samp_from_hist(
+    weights1, weights2, n1: float, n2: float
+) -> tuple[float, float]:
+    """Two-sample KS on two histograms over IDENTICAL bin edges.
+
+    D = max |CDF1 - CDF2| over bin boundaries; p via the asymptotic
+    Kolmogorov distribution with effective n = n1*n2/(n1+n2). This is the
+    sketch-based replacement for the reference's bootstrapped KS
+    (column_bootstrapped_ks_test_p_value.py:38-145): mergeable histogram /
+    quantile sketches computed distributed, O(bins) driver math.
+    """
+    w1 = np.asarray(weights1, dtype=float)
+    w2 = np.asarray(weights2, dtype=float)
+    s1, s2 = w1.sum(), w2.sum()
+    if s1 == 0 or s2 == 0:
+        return 0.0, 1.0
+    cdf1 = np.cumsum(w1) / s1
+    cdf2 = np.cumsum(w2) / s2
+    d = float(np.max(np.abs(cdf1 - cdf2)))
+    if n1 <= 0 or n2 <= 0:
+        return d, 1.0
+    en = math.sqrt(n1 * n2 / (n1 + n2))
+    # Stephens' small-sample correction, as used by scipy's asymp mode.
+    p = kolmogorov_sf((en + 0.12 + 0.11 / en) * d)
+    return d, p
+
+
+def kl_divergence(pk, qk) -> float:
+    """KL(pk || qk) in nats over aligned categorical weights.
+
+    Matches scipy.stats.entropy(pk, qk): normalizes both, inf when qk=0<pk."""
+    p = np.asarray(pk, dtype=float)
+    q = np.asarray(qk, dtype=float)
+    if p.sum() <= 0 or q.sum() <= 0:
+        return float("nan")
+    p = p / p.sum()
+    q = q / q.sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = np.where(p > 0, p * np.log(p / q), 0.0)
+    if np.any((p > 0) & (q == 0)):
+        return float("inf")
+    return float(np.sum(terms))

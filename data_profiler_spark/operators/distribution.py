@@ -1,0 +1,379 @@
+"""Distribution / drift constraints.
+
+The split the reference gets right (and we keep): sketches are computed
+DISTRIBUTED inside the fused pass; the distribution math runs on the driver
+in numpy over a bounded number of weights
+(ref V2 dataset/dataset.py:3695-4366, V3
+expect_column_kl_divergence_to_be_less_than.py:189-638).
+
+Spark-first upgrade: where the reference runs a Bucketizer + a second
+edge-closing count job (column_histogram.py:160-234), our histogram is a set
+of ``sum(when(lo <= c AND c < hi, 1))`` terms INSIDE the single fused agg —
+with the numpy convention (last bin right-inclusive) folded into the last
+term's predicate, so no extra job.
+
+``partition_object`` shapes match dataset/util.py:23-80:
+  categorical: {"values": [...], "weights": [...]}
+  continuous:  {"bins": [...], "weights": [...], "tail_weights": [lo, hi]?}
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_profiler_spark.core.result import ConstraintResult
+from data_profiler_spark.core.suite import Constraint
+from data_profiler_spark.functions import stats
+from data_profiler_spark.operators.registry import register
+from data_profiler_spark.plans.fused import AggTerm, CompiledConstraint, metric_alias
+
+
+def histogram_terms(
+    colname: str, bins: list[float], tag: str
+) -> tuple[list[str], list[AggTerm], str, str]:
+    """Fused histogram: one conditional-sum term per bin + below/above tails.
+
+    Last bin is right-INCLUSIVE (numpy convention, as the reference enforces
+    with its extra filter job at column_histogram.py:205-212)."""
+    col = F.col(colname)
+    aliases, terms = [], []
+    for i in range(len(bins) - 1):
+        lo, hi = bins[i], bins[i + 1]
+        last = i == len(bins) - 2
+        cond: Column = (col >= lo) & ((col <= hi) if last else (col < hi))
+        a = metric_alias("column.histogram.bin", column=colname, tag=tag, i=i, lo=lo, hi=hi)
+        aliases.append(a)
+        terms.append(AggTerm(a, F.sum(F.when(cond, 1).otherwise(0))))
+    below_a = metric_alias("column.histogram.below", column=colname, tag=tag, lo=bins[0])
+    above_a = metric_alias("column.histogram.above", column=colname, tag=tag, hi=bins[-1])
+    terms.append(AggTerm(below_a, F.sum(F.when(col < bins[0], 1).otherwise(0))))
+    terms.append(AggTerm(above_a, F.sum(F.when(col > bins[-1], 1).otherwise(0))))
+    return aliases, terms, below_a, above_a
+
+
+def value_count_terms(
+    colname: str, values: list[Any], tag: str
+) -> tuple[list[str], list[AggTerm], str]:
+    """Fused categorical counts: one term per expected value + an
+    'unlisted' remainder term (for NaN-alignment / tail holdout)."""
+    col = F.col(colname)
+    aliases, terms = [], []
+    for i, v in enumerate(values):
+        a = metric_alias("column.value_count", column=colname, tag=tag, v=str(v), i=i)
+        aliases.append(a)
+        terms.append(AggTerm(a, F.sum(F.when(col == F.lit(v), 1).otherwise(0))))
+    other_a = metric_alias("column.value_count.other", column=colname, tag=tag)
+    terms.append(
+        AggTerm(
+            other_a,
+            F.sum(F.when(col.isNotNull() & ~col.isin(list(values)), 1).otherwise(0)),
+        )
+    )
+    return aliases, terms, other_a
+
+
+def _nonnull_term(colname: str) -> tuple[str, AggTerm]:
+    a = metric_alias("column.nonnull_count", column=colname)
+    return a, AggTerm(a, F.count(F.col(colname)))
+
+
+@register("expect_column_kl_divergence_to_be_less_than")
+def c_kl_divergence(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: V2 dataset/dataset.py:3916-4366, V3
+    expect_column_kl_divergence_to_be_less_than.py:189-638.
+
+    Categorical: KL(observed || expected) over the expected value list with
+    ``tail_weight_holdout`` redistributed to unlisted values.
+    Continuous: observed histogram on the EXPECTED bins (+below/above tails),
+    ``internal_weight_holdout`` on zero bins, tail_weights support.
+    """
+    kw = constraint.kwargs
+    colname = kw["column"]
+    po = kw["partition_object"]
+    threshold = float(kw["threshold"])
+    tail_holdout = float(kw.get("tail_weight_holdout", 0.0))
+    internal_holdout = float(kw.get("internal_weight_holdout", 0.0))
+    nn_a, nn_t = _nonnull_term(colname)
+
+    if "values" in po:  # categorical
+        values = list(po["values"])
+        exp_w = [float(w) for w in po["weights"]]
+        aliases, terms, other_a = value_count_terms(colname, values, tag=constraint.id[:8])
+        terms.append(nn_t)
+
+        def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
+            obs = [float(metrics.get(a) or 0) for a in aliases]
+            other = float(metrics.get(other_a) or 0)
+            nonnull = float(metrics.get(nn_a) or 0)
+            if nonnull == 0:
+                return ConstraintResult(
+                    constraint_id=constraint.id, constraint_type=constraint.type,
+                    kwargs=dict(kw), success=True, group=group, observed_value=None,
+                )
+            pk = [o / nonnull for o in obs] + [other / nonnull]
+            qk = list(exp_w) + [0.0]
+            if tail_holdout > 0:
+                qk = [w * (1 - tail_holdout) for w in exp_w] + [tail_holdout]
+            kl = stats.kl_divergence(pk, qk)
+            return ConstraintResult(
+                constraint_id=constraint.id, constraint_type=constraint.type,
+                kwargs=dict(kw),
+                success=bool(kl < threshold),
+                group=group,
+                observed_value=kl,
+                details={"observed_weights": pk, "expected_weights": qk},
+            )
+
+        return CompiledConstraint(constraint=constraint, agg_terms=terms, verdict_fn=verdict)
+
+    # continuous
+    bins = [float(b) for b in po["bins"]]
+    exp_w = [float(w) for w in po["weights"]]
+    exp_tails = [float(t) for t in po.get("tail_weights", [0.0, 0.0])]
+    aliases, terms, below_a, above_a = histogram_terms(colname, bins, tag=constraint.id[:8])
+    terms.append(nn_t)
+
+    def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
+        obs = [float(metrics.get(a) or 0) for a in aliases]
+        below = float(metrics.get(below_a) or 0)
+        above = float(metrics.get(above_a) or 0)
+        nonnull = float(metrics.get(nn_a) or 0)
+        if nonnull == 0:
+            return ConstraintResult(
+                constraint_id=constraint.id, constraint_type=constraint.type,
+                kwargs=dict(kw), success=True, group=group, observed_value=None,
+            )
+        pk = [o / nonnull for o in obs] + [below / nonnull, above / nonnull]
+        qk = list(exp_w)
+        if internal_holdout > 0:
+            nz = sum(1 for w in qk if w == 0)
+            if nz:
+                qk = [
+                    (w if w > 0 else internal_holdout / nz) * (1 - internal_holdout if w > 0 else 1)
+                    for w in qk
+                ]
+        scale = 1.0 - tail_holdout
+        qk = [w * scale for w in qk]
+        q_tails = [
+            exp_tails[0] * scale + tail_holdout / 2,
+            exp_tails[1] * scale + tail_holdout / 2,
+        ] if tail_holdout > 0 else list(exp_tails)
+        kl = stats.kl_divergence(pk, qk + q_tails)
+        return ConstraintResult(
+            constraint_id=constraint.id, constraint_type=constraint.type,
+            kwargs=dict(kw),
+            success=bool(kl < threshold),
+            group=group,
+            observed_value=kl,
+            details={"observed_weights": pk, "expected_weights": qk + q_tails},
+        )
+
+    return CompiledConstraint(constraint=constraint, agg_terms=terms, verdict_fn=verdict)
+
+
+@register("expect_column_chisquare_test_p_value_to_be_greater_than")
+def c_chisquare(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """One-sample chi-square vs an expected categorical partition.
+
+    ref: dataset/dataset.py:3695-3821 — expected counts = weights x nonnull,
+    unlisted observed values aligned in with expected ~0 unless
+    ``tail_weight_holdout`` provides mass for them."""
+    kw = constraint.kwargs
+    colname = kw["column"]
+    po = kw["partition_object"]
+    p_threshold = float(kw.get("p", 0.05))
+    tail_holdout = float(kw.get("tail_weight_holdout", 0.0))
+    values = list(po["values"])
+    exp_w = [float(w) for w in po["weights"]]
+    aliases, terms, other_a = value_count_terms(colname, values, tag=constraint.id[:8])
+    nn_a, nn_t = _nonnull_term(colname)
+    terms.append(nn_t)
+
+    def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
+        obs = [float(metrics.get(a) or 0) for a in aliases]
+        other = float(metrics.get(other_a) or 0)
+        nonnull = float(metrics.get(nn_a) or 0)
+        if nonnull == 0:
+            return ConstraintResult(
+                constraint_id=constraint.id, constraint_type=constraint.type,
+                kwargs=dict(kw), success=True, group=group, observed_value=None,
+            )
+        expected = [w * (1 - tail_holdout) * nonnull for w in exp_w]
+        observed = list(obs)
+        if other > 0 or tail_holdout > 0:
+            observed.append(other)
+            expected.append(tail_holdout * nonnull)
+        stat, p = stats.chisquare(observed, expected)
+        return ConstraintResult(
+            constraint_id=constraint.id, constraint_type=constraint.type,
+            kwargs=dict(kw),
+            success=bool(p > p_threshold),
+            group=group,
+            observed_value=p,
+            details={"chi2": stat, "observed": observed, "expected": expected},
+        )
+
+    return CompiledConstraint(constraint=constraint, agg_terms=terms, verdict_fn=verdict)
+
+
+@register("expect_column_ks_test_p_value_to_be_greater_than")
+def c_ks_test(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """Sketch-based KS test vs an expected continuous partition.
+
+    The reference's version (column_bootstrapped_ks_test_p_value.py:38-145)
+    bootstraps raw rows on the DRIVER and is pandas-only — that cannot work
+    at 100 TB. Ours compares the observed histogram (computed in the fused
+    pass on the expected bins) against the expected weights with the
+    asymptotic two-sample KS p-value; ``baseline_n`` is the sample size the
+    expected partition was built from (defaults to the observed n)."""
+    kw = constraint.kwargs
+    colname = kw["column"]
+    po = kw["partition_object"]
+    p_threshold = float(kw.get("p", 0.05))
+    bins = [float(b) for b in po["bins"]]
+    exp_w = [float(w) for w in po["weights"]]
+    aliases, terms, below_a, above_a = histogram_terms(colname, bins, tag=constraint.id[:8])
+    nn_a, nn_t = _nonnull_term(colname)
+    terms.append(nn_t)
+
+    def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
+        obs = [float(metrics.get(a) or 0) for a in aliases]
+        nonnull = float(metrics.get(nn_a) or 0)
+        if nonnull == 0:
+            return ConstraintResult(
+                constraint_id=constraint.id, constraint_type=constraint.type,
+                kwargs=dict(kw), success=True, group=group, observed_value=None,
+            )
+        n2 = float(kw.get("baseline_n") or nonnull)
+        d, p = stats.ks_2samp_from_hist(obs, exp_w, nonnull, n2)
+        return ConstraintResult(
+            constraint_id=constraint.id, constraint_type=constraint.type,
+            kwargs=dict(kw),
+            success=bool(p > p_threshold),
+            group=group,
+            observed_value=p,
+            details={"ks_d": d},
+        )
+
+    return CompiledConstraint(constraint=constraint, agg_terms=terms, verdict_fn=verdict)
+
+
+@register("expect_column_pair_cramers_phi_value_to_be_less_than")
+def c_cramers_phi(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: dataset/dataset.py:4369-4440. Contingency table via ONE
+    distributed groupBy(A, B).count() (bounded cardinality), Cramer's V on
+    the driver — replaces the pandas-only crosstab."""
+    kw = constraint.kwargs
+    a_col, b_col = kw["column_A"], kw["column_B"]
+    threshold = float(kw.get("threshold", 0.1))
+    phi_a = metric_alias("pair.cramers_phi", a=a_col, b=b_col)
+
+    def post_pass(frame: DataFrame, group_by: list[str], groups):
+        keys = list(group_by) + [a_col, b_col]
+        counted = frame.where(
+            F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+        ).groupBy(*keys).count().collect()
+        by_group: dict[tuple, dict[tuple, int]] = {}
+        for r in counted:
+            g = tuple(r[k] for k in group_by) if group_by else ()
+            by_group.setdefault(g, {})[(r[a_col], r[b_col])] = r["count"]
+        out = {}
+        for g, cells in by_group.items():
+            avals = sorted({k[0] for k in cells}, key=str)
+            bvals = sorted({k[1] for k in cells}, key=str)
+            table = [[cells.get((av, bv), 0) for bv in bvals] for av in avals]
+            out[g] = {phi_a: stats.cramers_v(table)}
+        return out
+
+    def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
+        v = metrics.get(phi_a, 0.0)
+        return ConstraintResult(
+            constraint_id=constraint.id, constraint_type=constraint.type,
+            kwargs=dict(kw),
+            success=bool(v < threshold),
+            group=group,
+            observed_value=v,
+        )
+
+    return CompiledConstraint(
+        constraint=constraint, agg_terms=[], verdict_fn=verdict, post_pass_fn=post_pass
+    )
+
+
+@register("expect_column_distribution_to_match_baseline")
+def c_drift(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """The north-rule drift check: two-sample test vs a stored baseline
+    profile sketch (FIXTURES.md §3 shape).
+
+    kwargs:
+      column, baseline: categorical {"values","weights","n"} or continuous
+      {"bins","weights","n"}, test: "ks"|"chisquare" (default by shape),
+      p: significance level (drift verdict FAILS when p <= threshold).
+    """
+    kw = constraint.kwargs
+    colname = kw["column"]
+    baseline = kw["baseline"]
+    p_threshold = float(kw.get("p", 0.05))
+    n2 = float(baseline.get("n", 0) or 0)
+    nn_a, nn_t = _nonnull_term(colname)
+
+    if "values" in baseline:  # categorical -> two-sample chi-square
+        values = list(baseline["values"])
+        base_w = [float(w) for w in baseline["weights"]]
+        aliases, terms, other_a = value_count_terms(colname, values, tag=constraint.id[:8])
+        terms.append(nn_t)
+
+        def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
+            obs = [float(metrics.get(a) or 0) for a in aliases]
+            other = float(metrics.get(other_a) or 0)
+            nonnull = float(metrics.get(nn_a) or 0)
+            if nonnull == 0 or n2 == 0:
+                return ConstraintResult(
+                    constraint_id=constraint.id, constraint_type=constraint.type,
+                    kwargs=dict(kw), success=True, group=group, observed_value=None,
+                )
+            base_counts = [w * n2 for w in base_w] + [0.0]
+            table = [obs + [other], base_counts]
+            stat, p, dof = stats.chi2_contingency(table)
+            return ConstraintResult(
+                constraint_id=constraint.id, constraint_type=constraint.type,
+                kwargs=dict(kw),
+                success=bool(p > p_threshold),
+                group=group,
+                observed_value=p,
+                details={"chi2": stat, "dof": dof, "test": "chi2_2samp"},
+            )
+
+        return CompiledConstraint(constraint=constraint, agg_terms=terms, verdict_fn=verdict)
+
+    bins = [float(b) for b in baseline["bins"]]
+    base_w = [float(w) for w in baseline["weights"]]
+    aliases, terms, below_a, above_a = histogram_terms(colname, bins, tag=constraint.id[:8])
+    terms.append(nn_t)
+
+    def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
+        obs = [float(metrics.get(a) or 0) for a in aliases]
+        below = float(metrics.get(below_a) or 0)
+        above = float(metrics.get(above_a) or 0)
+        nonnull = float(metrics.get(nn_a) or 0)
+        if nonnull == 0 or n2 == 0:
+            return ConstraintResult(
+                constraint_id=constraint.id, constraint_type=constraint.type,
+                kwargs=dict(kw), success=True, group=group, observed_value=None,
+            )
+        obs_full = [below] + obs + [above]
+        base_full = [0.0] + list(base_w) + [0.0]
+        d, p = stats.ks_2samp_from_hist(obs_full, base_full, nonnull, n2)
+        return ConstraintResult(
+            constraint_id=constraint.id, constraint_type=constraint.type,
+            kwargs=dict(kw),
+            success=bool(p > p_threshold),
+            group=group,
+            observed_value=p,
+            details={"ks_d": d, "test": "ks_2samp_sketch"},
+        )
+
+    return CompiledConstraint(constraint=constraint, agg_terms=terms, verdict_fn=verdict)

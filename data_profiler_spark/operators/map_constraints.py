@@ -1,0 +1,606 @@
+"""Row-level (map) constraints — the reference's MapMetricProvider family.
+
+Each constraint lowers to fused aggregate terms:
+    element_count     = count(1)                     [within row_condition]
+    missing_count     = sum(when(domain-null, 1))
+    unexpected_count  = sum(when(nonnull & unexpected, 1))
+(the reference registers exactly this deferred aggregate for Spark:
+``_spark_map_condition_unexpected_count_aggregate_fn``,
+/root/reference/src/data_profiler/expectations/metrics/map_metric_provider.py:2299-2314)
+
+plus a violations builder ``df.filter(nonnull & unexpected)`` used only for
+failed constraints. Null handling composes exactly like the reference's
+``column_condition_partial`` Spark branch (map_metric_provider.py:478-490):
+``column.isNotNull() & ~expected_condition``.
+
+Verdict semantics (expectation.py:1321-1369, 1760-1825):
+    success  = (denominator - unexpected)/denominator >= mostly,
+               vacuously True when denominator == 0
+    unexpected_percent        = unexpected / nonnull * 100
+    unexpected_percent_total  = unexpected / element_count * 100
+
+Every condition here is a native Column expression (JVM, codegen) — the
+reference's Python row UDFs (strftime/json/hash) are replaced with
+``try_to_timestamp`` / Arrow-batched pandas UDFs per the input_hint ban on
+per-row Python.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import reduce
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_profiler_spark.core.result import ConstraintResult
+from data_profiler_spark.core.suite import Constraint
+from data_profiler_spark.operators.registry import register
+from data_profiler_spark.plans.fused import AggTerm, CompiledConstraint, metric_alias
+
+
+def _row_condition(c: Constraint) -> Column | None:
+    rc = c.kwargs.get("row_condition")
+    return F.expr(rc) if rc else None
+
+
+def _guard(rc: Column | None, cond: Column) -> Column:
+    return cond if rc is None else (rc & cond)
+
+
+def compile_map_constraint(
+    constraint: Constraint,
+    df: DataFrame,
+    *,
+    unexpected: Column,
+    domain_nonnull: Column,
+    denominator: str = "nonnull",  # "nonnull" | "element"
+    violation_cond: Column | None = None,
+) -> CompiledConstraint:
+    """Shared lowering for every map constraint."""
+    kw = constraint.kwargs
+    rc = _row_condition(constraint)
+    rc_key = kw.get("row_condition")
+
+    elem_a = metric_alias("element_count", rc=rc_key)
+    full_unexpected = _guard(rc, domain_nonnull & unexpected) if denominator == "nonnull" else _guard(rc, unexpected)
+    miss_a = metric_alias("missing_count", domain=str(domain_nonnull), rc=rc_key)
+    unex_a = metric_alias(
+        "unexpected_count", constraint_id=constraint.id
+    )
+
+    terms = [
+        AggTerm(elem_a, F.count(F.when(rc, F.lit(1)) if rc is not None else F.lit(1))),
+        AggTerm(miss_a, F.sum(F.when(_guard(rc, ~domain_nonnull), 1).otherwise(0))),
+        AggTerm(unex_a, F.sum(F.when(full_unexpected, 1).otherwise(0))),
+    ]
+
+    mostly = float(kw.get("mostly", 1.0))
+
+    def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
+        element_count = int(metrics.get(elem_a) or 0)
+        missing = int(metrics.get(miss_a) or 0)
+        unexpected_n = int(metrics.get(unex_a) or 0)
+        nonnull = element_count - missing
+        denom = nonnull if denominator == "nonnull" else element_count
+        if denom <= 0:
+            success = True  # vacuous truth (expectation.py:1354-1356)
+        else:
+            success = (denom - unexpected_n) / denom >= mostly
+        return ConstraintResult(
+            constraint_id=constraint.id,
+            constraint_type=constraint.type,
+            kwargs=dict(kw),
+            success=bool(success),
+            group=group,
+            element_count=element_count,
+            unexpected_count=unexpected_n,
+            missing_count=missing,
+            unexpected_percent=(100.0 * unexpected_n / denom) if denom else None,
+            unexpected_percent_total=(
+                (100.0 * unexpected_n / element_count) if element_count else None
+            ),
+        )
+
+    vcond = violation_cond if violation_cond is not None else full_unexpected
+
+    def violations(frame: DataFrame) -> DataFrame:
+        return frame.filter(vcond)
+
+    return CompiledConstraint(
+        constraint=constraint,
+        agg_terms=terms,
+        verdict_fn=verdict,
+        violations_fn=violations,
+    )
+
+
+# --------------------------------------------------------------------------
+# null / not-null
+# --------------------------------------------------------------------------
+
+
+@register("expect_column_values_to_not_be_null")
+def c_not_null(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: column_values_non_null.py:36; domain = ALL rows (no null filter)."""
+    col = F.col(constraint.kwargs["column"])
+    return compile_map_constraint(
+        constraint, df,
+        unexpected=col.isNull(),
+        domain_nonnull=F.lit(True),
+        denominator="element",
+    )
+
+
+@register("expect_column_values_to_be_null")
+def c_null(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    col = F.col(constraint.kwargs["column"])
+    return compile_map_constraint(
+        constraint, df,
+        unexpected=col.isNotNull(),
+        domain_nonnull=F.lit(True),
+        denominator="element",
+    )
+
+
+# --------------------------------------------------------------------------
+# value-domain conditions (null-filtered, reference default)
+# --------------------------------------------------------------------------
+
+
+def _std_map(constraint: Constraint, df: DataFrame, expected: Column) -> CompiledConstraint:
+    col = F.col(constraint.kwargs["column"])
+    return compile_map_constraint(
+        constraint, df, unexpected=~expected, domain_nonnull=col.isNotNull()
+    )
+
+
+@register("expect_column_values_to_be_between")
+def c_between(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: column_values_between.py:195-238 (chained strict/inclusive bounds)."""
+    kw = constraint.kwargs
+    col = F.col(kw["column"])
+    conds = []
+    if kw.get("min_value") is not None:
+        conds.append(col > kw["min_value"] if kw.get("strict_min") else col >= kw["min_value"])
+    if kw.get("max_value") is not None:
+        conds.append(col < kw["max_value"] if kw.get("strict_max") else col <= kw["max_value"])
+    expected = reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
+    return _std_map(constraint, df, expected)
+
+
+@register("expect_column_values_to_be_in_set")
+def c_in_set(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: column_values_in_set.py:37-42 (empty set -> vacuous True)."""
+    kw = constraint.kwargs
+    vs = list(kw.get("value_set") or [])
+    expected = F.col(kw["column"]).isin(vs) if vs else F.lit(True)
+    return _std_map(constraint, df, expected)
+
+
+@register("expect_column_values_to_not_be_in_set")
+def c_not_in_set(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    kw = constraint.kwargs
+    vs = list(kw.get("value_set") or [])
+    expected = ~F.col(kw["column"]).isin(vs) if vs else F.lit(True)
+    return _std_map(constraint, df, expected)
+
+
+@register("expect_column_values_to_match_regex")
+def c_match_regex(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: column_values_match_regex.py:39-40 (rlike)."""
+    kw = constraint.kwargs
+    return _std_map(constraint, df, F.col(kw["column"]).rlike(kw["regex"]))
+
+
+@register("expect_column_values_to_not_match_regex")
+def c_not_match_regex(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    kw = constraint.kwargs
+    return _std_map(constraint, df, ~F.col(kw["column"]).rlike(kw["regex"]))
+
+
+@register("expect_column_values_to_match_regex_list")
+def c_match_regex_list(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: column_values_match_regex_list.py:76-81 (any -> OR, all -> AND)."""
+    kw = constraint.kwargs
+    col = F.col(kw["column"])
+    conds = [col.rlike(r) for r in kw["regex_list"]]
+    op = (lambda a, b: a & b) if kw.get("match_on", "any") == "all" else (lambda a, b: a | b)
+    return _std_map(constraint, df, reduce(op, conds))
+
+
+@register("expect_column_values_to_not_match_regex_list")
+def c_not_match_regex_list(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: column_values_not_match_regex_list.py:55-61 (must match none)."""
+    kw = constraint.kwargs
+    col = F.col(kw["column"])
+    return _std_map(constraint, df, reduce(lambda a, b: a & b, [~col.rlike(r) for r in kw["regex_list"]]))
+
+
+@register("expect_column_value_lengths_to_be_between")
+def c_length_between(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: column_value_lengths.py:174-207."""
+    kw = constraint.kwargs
+    ln = F.length(F.col(kw["column"]))
+    conds = []
+    if kw.get("min_value") is not None:
+        conds.append(ln > kw["min_value"] if kw.get("strict_min") else ln >= kw["min_value"])
+    if kw.get("max_value") is not None:
+        conds.append(ln < kw["max_value"] if kw.get("strict_max") else ln <= kw["max_value"])
+    expected = reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
+    return _std_map(constraint, df, expected)
+
+
+@register("expect_column_value_lengths_to_equal")
+def c_length_equal(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    kw = constraint.kwargs
+    return _std_map(constraint, df, F.length(F.col(kw["column"])) == kw["value"])
+
+
+_STRFTIME_TO_SPARK = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"),
+    ("%f", "SSSSSS"), ("%j", "DDD"), ("%p", "a"), ("%z", "Z"),
+]
+
+
+def strftime_to_spark(fmt: str) -> str:
+    for py, sp in _STRFTIME_TO_SPARK:
+        fmt = fmt.replace(py, sp)
+    return fmt
+
+
+@register("expect_column_values_to_match_strftime_format")
+def c_strftime(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """Native replacement for the reference's Python-UDF strptime check
+    (column_values_match_strftime_format.py:34-58): try_to_timestamp."""
+    kw = constraint.kwargs
+    fmt = strftime_to_spark(kw["strftime_format"])
+    col = F.col(kw["column"])
+    expected = F.try_to_timestamp(col, F.lit(fmt)).isNotNull() & (
+        F.length(col) == F.length(F.date_format(F.try_to_timestamp(col, F.lit(fmt)), fmt))
+    )
+    return _std_map(constraint, df, expected)
+
+
+@register("expect_column_values_to_be_dateutil_parseable")
+def c_dateutil(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """Approximation of the pandas-only dateutil check
+    (column_values_dateutil_parseable.py:13-31) with native try-parsers."""
+    kw = constraint.kwargs
+    col = F.col(kw["column"])
+    expected = (
+        F.try_to_timestamp(col).isNotNull()
+        | col.cast("date").isNotNull()
+        | F.try_to_timestamp(col, F.lit("yyyy/MM/dd")).isNotNull()
+        | F.try_to_timestamp(col, F.lit("MM/dd/yyyy")).isNotNull()
+    )
+    return _std_map(constraint, df, expected)
+
+
+@F.pandas_udf(T.BooleanType())
+def _json_parseable_udf(s: pd.Series) -> pd.Series:
+    def ok(v: Any) -> bool:
+        if v is None:
+            return False
+        try:
+            json.loads(v)
+            return True
+        except (ValueError, TypeError):
+            return False
+
+    return s.map(ok)
+
+
+@register("expect_column_values_to_be_json_parseable")
+def c_json_parseable(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """Arrow-batched replacement for the row UDF at
+    column_values_json_parseable.py:29-39."""
+    kw = constraint.kwargs
+    return _std_map(constraint, df, _json_parseable_udf(F.col(kw["column"])))
+
+
+@register("expect_column_values_to_match_json_schema")
+def c_json_schema(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """Arrow-batched replacement for column_values_match_json_schema.py:39-58."""
+    kw = constraint.kwargs
+    schema = kw["json_schema"]
+    schema_str = json.dumps(schema)
+
+    @F.pandas_udf(T.BooleanType())
+    def matches(s: pd.Series) -> pd.Series:
+        import jsonschema
+
+        sch = json.loads(schema_str)
+        validator = jsonschema.validators.validator_for(sch)(sch)
+
+        def ok(v: Any) -> bool:
+            if v is None:
+                return False
+            try:
+                validator.validate(json.loads(v))
+                return True
+            except Exception:
+                return False
+
+        return s.map(ok)
+
+    return _std_map(constraint, df, matches(F.col(kw["column"])))
+
+
+# --------------------------------------------------------------------------
+# z-score (two-phase: fused mean/stddev, then one extra fused count pass)
+# --------------------------------------------------------------------------
+
+
+@register("expect_column_value_z_scores_to_be_less_than")
+def c_zscore(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: column_values_z_score.py:83-96 — condition |(x-mean)/std| < t.
+
+    Phase 1 (fused): mean/stddev/element/missing. Phase 2 (post-pass, ONE
+    extra job for all groups): per-group scalars are broadcast-joined back
+    and the unexpected counts aggregated — no window over a global ordering.
+    """
+    kw = constraint.kwargs
+    colname = kw["column"]
+    col = F.col(colname)
+    threshold = float(kw["threshold"])
+    double_sided = bool(kw.get("double_sided", True))
+    mostly = float(kw.get("mostly", 1.0))
+
+    elem_a = metric_alias("element_count", rc=None)
+    miss_a = metric_alias("missing_count", domain=colname, rc=None)
+    mean_a = metric_alias("column.mean", column=colname)
+    std_a = metric_alias("column.stddev", column=colname)
+    unex_a = metric_alias("unexpected_count", constraint_id=constraint.id)
+
+    terms = [
+        AggTerm(elem_a, F.count(F.lit(1))),
+        AggTerm(miss_a, F.sum(F.when(col.isNull(), 1).otherwise(0))),
+        AggTerm(mean_a, F.mean(col)),
+        AggTerm(std_a, F.stddev_samp(col)),
+    ]
+
+    def _zcond(mean_c: Column, std_c: Column) -> Column:
+        z = (col - mean_c) / std_c
+        bad = (F.abs(z) >= threshold) if double_sided else (z >= threshold)
+        return col.isNotNull() & bad
+
+    def post_pass(frame: DataFrame, group_by: list[str], groups):
+        spark = frame.sparkSession
+        if not group_by:
+            (_, m0) = groups[0]
+            mean_v, std_v = m0.get(mean_a), m0.get(std_a)
+            if mean_v is None or std_v is None or std_v == 0:
+                return {(): {unex_a: 0}}
+            n = frame.agg(
+                F.sum(F.when(_zcond(F.lit(mean_v), F.lit(std_v)), 1).otherwise(0)).alias("n")
+            ).first()["n"]
+            return {(): {unex_a: int(n or 0)}}
+        # grouped: broadcast the per-group scalars, one fused count job
+        rows = [
+            tuple(k) + (float(m.get(mean_a) or 0.0), float(m.get(std_a) or 0.0))
+            for k, m in groups
+        ]
+        scalars = spark.createDataFrame(rows, group_by + ["__mean", "__std"])
+        joined = frame.join(F.broadcast(scalars), on=group_by, how="inner")
+        agg = (
+            joined.groupBy(*group_by)
+            .agg(
+                F.sum(
+                    F.when(
+                        (F.col("__std") > 0)
+                        & _zcond(F.col("__mean"), F.col("__std")),
+                        1,
+                    ).otherwise(0)
+                ).alias("n")
+            )
+            .collect()
+        )
+        return {tuple(r[k] for k in group_by): {unex_a: int(r["n"] or 0)} for r in agg}
+
+    def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
+        element_count = int(metrics.get(elem_a) or 0)
+        missing = int(metrics.get(miss_a) or 0)
+        unexpected_n = int(metrics.get(unex_a) or 0)
+        nonnull = element_count - missing
+        success = True if nonnull <= 0 else (nonnull - unexpected_n) / nonnull >= mostly
+        return ConstraintResult(
+            constraint_id=constraint.id,
+            constraint_type=constraint.type,
+            kwargs=dict(kw),
+            success=bool(success),
+            group=group,
+            element_count=element_count,
+            unexpected_count=unexpected_n,
+            missing_count=missing,
+            unexpected_percent=(100.0 * unexpected_n / nonnull) if nonnull else None,
+            unexpected_percent_total=(
+                100.0 * unexpected_n / element_count if element_count else None
+            ),
+            details={"mean": metrics.get(mean_a), "stddev": metrics.get(std_a)},
+        )
+
+    return CompiledConstraint(
+        constraint=constraint, agg_terms=terms, verdict_fn=verdict, post_pass_fn=post_pass
+    )
+
+
+# --------------------------------------------------------------------------
+# monotonicity (ordered within a sort key — never a global orderBy(lit))
+# --------------------------------------------------------------------------
+
+
+def _monotonic(constraint: Constraint, df: DataFrame, ctx: dict, increasing: bool) -> CompiledConstraint:
+    """ref: column_values_increasing.py:51-120 / decreasing.py:46-112.
+
+    The reference orders by a CONSTANT window (single partition — its own
+    anti-pattern, SURVEY §4). We require/encourage ``partition_by`` so the
+    sort parallelizes; ``order_by`` defaults to the column itself being
+    checked against the input order is not reproducible at scale.
+    """
+    kw = constraint.kwargs
+    colname = kw["column"]
+    col = F.col(colname)
+    strictly = bool(kw.get("strictly", False))
+    part_cols = kw.get("partition_by") or []
+    order_col = kw.get("order_by")
+    mostly = float(kw.get("mostly", 1.0))
+
+    elem_a = metric_alias("element_count", rc=None)
+    miss_a = metric_alias("missing_count", domain=colname, rc=None)
+    unex_a = metric_alias("unexpected_count", constraint_id=constraint.id)
+    terms = [
+        AggTerm(elem_a, F.count(F.lit(1))),
+        AggTerm(miss_a, F.sum(F.when(col.isNull(), 1).otherwise(0))),
+    ]
+
+    def _diff_frame(frame: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*(part_cols or [F.lit(0)])).orderBy(
+            F.col(order_col) if order_col else col
+        )
+        diff = col - F.lag(col).over(w)
+        if increasing:
+            bad = (diff < 0) if not strictly else (diff <= 0)
+        else:
+            bad = (diff > 0) if not strictly else (diff >= 0)
+        # null diff (first row / null neighbor) is OK, like the reference
+        return frame.withColumn("__bad", col.isNotNull() & F.coalesce(bad, F.lit(False)))
+
+    def post_pass(frame: DataFrame, group_by: list[str], groups):
+        flagged = _diff_frame(frame)
+        if not group_by:
+            n = flagged.agg(F.sum(F.col("__bad").cast("long")).alias("n")).first()["n"]
+            return {(): {unex_a: int(n or 0)}}
+        rows = flagged.groupBy(*group_by).agg(F.sum(F.col("__bad").cast("long")).alias("n")).collect()
+        return {tuple(r[k] for k in group_by): {unex_a: int(r["n"] or 0)} for r in rows}
+
+    def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
+        element_count = int(metrics.get(elem_a) or 0)
+        missing = int(metrics.get(miss_a) or 0)
+        unexpected_n = int(metrics.get(unex_a) or 0)
+        nonnull = element_count - missing
+        success = True if nonnull <= 0 else (nonnull - unexpected_n) / nonnull >= mostly
+        return ConstraintResult(
+            constraint_id=constraint.id,
+            constraint_type=constraint.type,
+            kwargs=dict(kw),
+            success=bool(success),
+            group=group,
+            element_count=element_count,
+            unexpected_count=unexpected_n,
+            missing_count=missing,
+            unexpected_percent=(100.0 * unexpected_n / nonnull) if nonnull else None,
+        )
+
+    def violations(frame: DataFrame) -> DataFrame:
+        return _diff_frame(frame).filter(F.col("__bad")).drop("__bad")
+
+    return CompiledConstraint(
+        constraint=constraint,
+        agg_terms=terms,
+        verdict_fn=verdict,
+        violations_fn=violations,
+        post_pass_fn=post_pass,
+    )
+
+
+@register("expect_column_values_to_be_increasing")
+def c_increasing(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    return _monotonic(constraint, df, ctx, increasing=True)
+
+
+@register("expect_column_values_to_be_decreasing")
+def c_decreasing(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    return _monotonic(constraint, df, ctx, increasing=False)
+
+
+# --------------------------------------------------------------------------
+# column pairs / multicolumn (ignore_row_if semantics of
+# sparkdf_execution_engine.py:422-480)
+# --------------------------------------------------------------------------
+
+
+def _pair_domain(kw: dict[str, Any]) -> Column:
+    a, b = F.col(kw["column_A"]), F.col(kw["column_B"])
+    mode = kw.get("ignore_row_if", "both_values_are_missing")
+    if mode == "both_values_are_missing":
+        return ~(a.isNull() & b.isNull())
+    if mode == "either_value_is_missing":
+        return a.isNotNull() & b.isNotNull()
+    return F.lit(True)  # "neither" / "never"
+
+
+@register("expect_column_pair_values_to_be_equal")
+def c_pair_equal(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: column_pair_values_equal.py:41-43."""
+    kw = constraint.kwargs
+    a, b = F.col(kw["column_A"]), F.col(kw["column_B"])
+    return compile_map_constraint(
+        constraint, df, unexpected=~a.eqNullSafe(b), domain_nonnull=_pair_domain(kw)
+    )
+
+
+@register("expect_column_pair_values_a_to_be_greater_than_b")
+def c_pair_greater(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: column_pair_values_greater.py:74-94."""
+    kw = constraint.kwargs
+    a, b = F.col(kw["column_A"]), F.col(kw["column_B"])
+    expected = (a >= b) if kw.get("or_equal") else (a > b)
+    return compile_map_constraint(
+        constraint, df, unexpected=~expected, domain_nonnull=_pair_domain(kw)
+    )
+
+
+@register("expect_column_pair_values_to_be_in_set")
+def c_pair_in_set(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: column_pair_values_in_set.py:78-96 (OR over eqNullSafe pairs)."""
+    kw = constraint.kwargs
+    a, b = F.col(kw["column_A"]), F.col(kw["column_B"])
+    pairs = list(kw["value_pairs_set"])
+    expected = reduce(
+        lambda x, y: x | y,
+        [a.eqNullSafe(F.lit(va)) & b.eqNullSafe(F.lit(vb)) for va, vb in pairs],
+    ) if pairs else F.lit(True)
+    return compile_map_constraint(
+        constraint, df, unexpected=~expected, domain_nonnull=_pair_domain(kw)
+    )
+
+
+def _multicol_domain(kw: dict[str, Any]) -> Column:
+    cols = [F.col(c) for c in kw["column_list"]]
+    mode = kw.get("ignore_row_if", "all_values_are_missing")
+    if mode == "all_values_are_missing":
+        return ~reduce(lambda a, b: a & b, [c.isNull() for c in cols])
+    if mode == "any_value_is_missing":
+        return reduce(lambda a, b: a & b, [c.isNotNull() for c in cols])
+    return F.lit(True)
+
+
+@register("expect_multicolumn_sum_to_equal")
+def c_multicol_sum(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: multicolumn_sum_equal.py:39-45."""
+    kw = constraint.kwargs
+    total = kw["sum_total"]
+    expected = reduce(lambda a, b: a + b, [F.col(c) for c in kw["column_list"]]) == F.lit(total)
+    return compile_map_constraint(
+        constraint, df, unexpected=~expected, domain_nonnull=_multicol_domain(kw)
+    )
+
+
+@register("expect_select_column_values_to_be_unique_within_record")
+def c_unique_within_record(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: select_column_values_unique_within_record.py:69-83 — distinct
+    values across the row's selected columns (nulls excluded from the check)."""
+    kw = constraint.kwargs
+    arr = F.array(*[F.col(c) for c in kw["column_list"]])
+    nn = F.filter(arr, lambda x: x.isNotNull())
+    expected = F.size(F.array_distinct(nn)) == F.size(nn)
+    return compile_map_constraint(
+        constraint, df, unexpected=~expected, domain_nonnull=_multicol_domain(kw)
+    )

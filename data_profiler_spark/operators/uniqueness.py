@@ -1,0 +1,126 @@
+"""Uniqueness constraints — the skew-safe replacement for the reference's
+window-function approach.
+
+The reference computes row-level uniqueness with
+``count(1).over(Window.partitionBy(column)) <= 1``
+(column_values_unique.py:81-86; compound_columns_unique.py:31-36). On a
+skewed key that window puts EVERY row of the hot value into one task — the
+canonical 100-TB OOM. We instead use an explicit two-stage salted count:
+
+  stage 1: groupBy(key..., salt = spark_partition_id()) -> partial counts
+  stage 2: groupBy(key...) -> sum(partial)              -> dup keys (n > 1)
+
+Stage 1 bounds any single group's rows per task to what one input partition
+holds; stage 2 aggregates tiny partial rows. (This makes the map-side
+combine EXPLICIT — hash-agg partial aggregation does the same when it can,
+but degrades to sort-based spill on high-cardinality skew; the salt keeps
+the contract deterministic.) Violation attribution joins the dup keys back —
+a broadcast join when the dup-key set is small, which it is in any passing
+or near-passing run.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_profiler_spark.core.result import ConstraintResult
+from data_profiler_spark.core.suite import Constraint
+from data_profiler_spark.operators.registry import register
+from data_profiler_spark.plans.fused import AggTerm, CompiledConstraint, metric_alias
+
+
+def duplicate_key_counts(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Keys occurring more than once, with their total row counts.
+
+    Two-stage salted aggregation (see module docstring)."""
+    partial = (
+        df.select(*key_cols)
+        .withColumn("__salt", F.spark_partition_id())
+        .groupBy(*key_cols, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return (
+        partial.groupBy(*key_cols)
+        .agg(F.sum("__partial").alias("key_count"))
+        .where(F.col("key_count") > 1)
+    )
+
+
+def _compile_unique(constraint: Constraint, df: DataFrame, key_cols: list[str]) -> CompiledConstraint:
+    kw = constraint.kwargs
+    mostly = float(kw.get("mostly", 1.0))
+    elem_a = metric_alias("element_count", rc=None)
+    miss_a = metric_alias("missing_count", domain=",".join(key_cols), rc=None)
+    unex_a = metric_alias("unexpected_count", constraint_id=constraint.id)
+
+    key_nonnull = F.lit(True)
+    for c in key_cols:
+        key_nonnull = key_nonnull & F.col(c).isNotNull()
+
+    terms = [
+        AggTerm(elem_a, F.count(F.lit(1))),
+        AggTerm(miss_a, F.sum(F.when(~key_nonnull, 1).otherwise(0))),
+    ]
+
+    def post_pass(frame: DataFrame, group_by: list[str], groups):
+        dups = duplicate_key_counts(frame.where(key_nonnull), key_cols)
+        if not group_by:
+            row = dups.agg(F.coalesce(F.sum("key_count"), F.lit(0)).alias("n")).first()
+            return {(): {unex_a: int(row["n"])}}
+        # attribute duplicated rows to their verdict groups: join the dup
+        # keys back (broadcast — the dup set is small by construction of a
+        # near-passing run) and count per group.
+        joined = frame.where(key_nonnull).join(
+            F.broadcast(dups.select(*key_cols)), on=key_cols, how="left_semi"
+        )
+        rows = joined.groupBy(*group_by).agg(F.count(F.lit(1)).alias("n")).collect()
+        out = {tuple(r[k] for k in group_by): {unex_a: int(r["n"])} for r in rows}
+        for g, _m in groups:
+            out.setdefault(g, {unex_a: 0})
+        return out
+
+    def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
+        element_count = int(metrics.get(elem_a) or 0)
+        missing = int(metrics.get(miss_a) or 0)
+        unexpected_n = int(metrics.get(unex_a) or 0)
+        nonnull = element_count - missing
+        success = True if nonnull <= 0 else (nonnull - unexpected_n) / nonnull >= mostly
+        return ConstraintResult(
+            constraint_id=constraint.id,
+            constraint_type=constraint.type,
+            kwargs=dict(kw),
+            success=bool(success),
+            group=group,
+            element_count=element_count,
+            unexpected_count=unexpected_n,
+            missing_count=missing,
+            unexpected_percent=(100.0 * unexpected_n / nonnull) if nonnull else None,
+            unexpected_percent_total=(
+                100.0 * unexpected_n / element_count if element_count else None
+            ),
+        )
+
+    def violations(frame: DataFrame) -> DataFrame:
+        dups = duplicate_key_counts(frame.where(key_nonnull), key_cols)
+        return frame.join(F.broadcast(dups.select(*key_cols)), on=key_cols, how="left_semi")
+
+    return CompiledConstraint(
+        constraint=constraint,
+        agg_terms=terms,
+        verdict_fn=verdict,
+        violations_fn=violations,
+        post_pass_fn=post_pass,
+    )
+
+
+@register("expect_column_values_to_be_unique")
+def c_unique(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    return _compile_unique(constraint, df, [constraint.kwargs["column"]])
+
+
+@register("expect_compound_columns_to_be_unique")
+def c_compound_unique(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    return _compile_unique(constraint, df, list(constraint.kwargs["column_list"]))

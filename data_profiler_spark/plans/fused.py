@@ -1,0 +1,134 @@
+"""The fused metric planner — the engine's physical execution core.
+
+Re-implements (above Catalyst, like the reference does) the one idea that
+matters for performance: ALL aggregate metrics that share a compute domain
+run as ONE ``df.groupBy(keys).agg(*columns)`` job
+(reference: ``SparkDFExecutionEngine.resolve_metric_bundle``,
+/root/reference/src/data_profiler/execution_engine/sparkdf_execution_engine.py:632-692,
+generalized here to grouped domains so per-partition verdicts come from the
+same single pass).
+
+Metric dedup across constraints uses the fingerprint identity of the
+reference's MetricConfiguration (core/id_dict.py:12-23): two constraints
+requesting the same (metric, kwargs) share one aggregate column.
+
+Scale notes:
+- one scan, map-side partial aggregation, whole-stage codegen — all free
+  from Catalyst once the plan is declared as a single agg;
+- the number of groups (e.g. Iceberg partitions) is assumed driver-bounded,
+  exactly like the reference's per-batch result model;
+- violation-row extraction is a separate lazily-planned job per FAILED
+  constraint only (reference early-exit, dataset/sparkdf_dataset.py:139-141),
+  with deterministic ordering so resumed runs emit identical samples.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_profiler_spark.core.identity import fingerprint
+from data_profiler_spark.core.result import ConstraintResult
+from data_profiler_spark.core.suite import Constraint
+
+GroupKey = tuple[Any, ...]
+
+
+def metric_alias(name: str, **kwargs: Any) -> str:
+    """Canonical column alias for a metric — the dedup/checkpoint key."""
+    return "m_" + fingerprint({"metric": name, "kwargs": kwargs})[:16]
+
+
+@dataclass
+class AggTerm:
+    alias: str
+    column: Column
+
+
+@dataclass
+class CompiledConstraint:
+    """A constraint lowered to: fused agg terms + a pure verdict function.
+
+    ``verdict(metrics, group)`` consumes the resolved per-group metric dict.
+    ``violations(df)`` (optional) returns the violating rows as a DataFrame —
+    only planned/executed for failed constraints.
+    ``post_pass(df, groups)`` (optional) runs ONE extra fused job for
+    two-phase metrics (e.g. z-score needs mean/stddev first); returns
+    {group_key: {alias: value}} merged into the metric dicts.
+    """
+
+    constraint: Constraint
+    agg_terms: list[AggTerm] = field(default_factory=list)
+    verdict_fn: Callable[[dict[str, Any], dict[str, Any]], ConstraintResult] | None = None
+    violations_fn: Callable[[DataFrame], DataFrame] | None = None
+    post_pass_fn: (
+        Callable[[DataFrame, list[str], list[tuple[GroupKey, dict[str, Any]]]],
+                 dict[GroupKey, dict[str, Any]]]
+        | None
+    ) = None
+
+    def verdict(self, metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
+        assert self.verdict_fn is not None
+        try:
+            return self.verdict_fn(metrics, group)
+        except Exception as exc:  # mirror EVR exception_info capture
+            return ConstraintResult(
+                constraint_id=self.constraint.id,
+                constraint_type=self.constraint.type,
+                kwargs=self.constraint.kwargs,
+                success=False,
+                group=group,
+                exception_info=f"{type(exc).__name__}: {exc}",
+            )
+
+
+def dedup_terms(compiled: list[CompiledConstraint]) -> list[AggTerm]:
+    seen: dict[str, AggTerm] = {}
+    for c in compiled:
+        for t in c.agg_terms:
+            seen.setdefault(t.alias, t)
+    return list(seen.values())
+
+
+def run_fused_pass(
+    df: DataFrame,
+    terms: list[AggTerm],
+    group_by: list[str],
+) -> list[tuple[GroupKey, dict[str, Any]]]:
+    """ONE Spark job: groupBy(group_by).agg(all fused terms) -> collected rows.
+
+    Returns [(group_key_tuple, {alias: value})]. With no group_by this is a
+    global agg returning a single row (empty-input safe: Spark global agg
+    always yields one row)."""
+    if not terms:
+        return [((), {})] if not group_by else []
+    cols = [t.column.alias(t.alias) for t in terms]
+    if group_by:
+        rows = df.groupBy(*[F.col(k) for k in group_by]).agg(*cols).collect()
+    else:
+        rows = df.agg(*cols).collect()
+    out: list[tuple[GroupKey, dict[str, Any]]] = []
+    for r in rows:
+        d = r.asDict(recursive=True)
+        key = tuple(d[k] for k in group_by) if group_by else ()
+        metrics = {t.alias: d[t.alias] for t in terms}
+        out.append((key, metrics))
+    return out
+
+
+def deterministic_sample(df: DataFrame, limit: int) -> DataFrame:
+    """Stable violation sampling: order by a hash of the whole row, then limit.
+
+    Replaces the reference's global ``row_number().over(Window.orderBy(lit(1)))``
+    (map_metric_provider.py:2373 — a single-partition shuffle) with a
+    deterministic hash order; resumed runs emit byte-identical samples."""
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in df.columns]
+    return (
+        df.withColumn("__ord", F.sha2(F.concat_ws("\x01", *cols), 256))
+        .orderBy("__ord")
+        .limit(limit)
+        .drop("__ord")
+    )

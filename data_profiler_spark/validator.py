@@ -1,0 +1,133 @@
+"""Validator — the engine's top-level API.
+
+    v = Validator(df, tables={"commits": commits_df})
+    result = v.validate(suite, group_by=["repo"])          # SuiteResult(s)
+    samples = v.violation_samples(suite, limit=20)          # per constraint
+
+Execution model (the reference's lifecycle §3.1 of SURVEY.md, minus the
+graph machinery it needed for three backends):
+  1. compile every constraint -> fused agg terms (dedup by metric fingerprint)
+  2. ONE ``df.groupBy(group_by).agg(*)`` job resolves all fusible metrics
+     for all groups (ref: resolve_metric_bundle, one job per domain)
+  3. post-pass hooks (z-score second phase, uniqueness groupBy, referential
+     anti-join, Cramer's phi crosstab) each run at most ONE more job that
+     covers ALL groups at once
+  4. verdicts are pure Python over the resolved scalars
+  5. violation rows are extracted ONLY for failed constraints (ref early
+     exit, dataset/sparkdf_dataset.py:139-141), deterministically sampled
+
+The input DataFrame is persisted across steps 2-5 only when violations will
+be extracted (ref ``persist=True`` engine option,
+sparkdf_execution_engine.py:151-156); callers validating pure aggregates pay
+a single scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_profiler_spark.core.result import ConstraintResult, SuiteResult
+from data_profiler_spark.core.suite import Constraint, ConstraintSuite
+from data_profiler_spark.operators.registry import compile_constraint, ensure_registered
+from data_profiler_spark.plans.fused import (
+    CompiledConstraint,
+    dedup_terms,
+    deterministic_sample,
+    run_fused_pass,
+)
+
+
+class Validator:
+    def __init__(
+        self,
+        df: DataFrame,
+        tables: dict[str, DataFrame] | None = None,
+    ) -> None:
+        ensure_registered()
+        self.df = df
+        self.ctx: dict[str, Any] = {"tables": tables or {}}
+
+    # ------------------------------------------------------------------
+    def compile(self, suite: ConstraintSuite) -> list[CompiledConstraint]:
+        return [compile_constraint(c, self.df, self.ctx) for c in suite.constraints]
+
+    def validate(
+        self,
+        suite: ConstraintSuite,
+        group_by: list[str] | None = None,
+    ) -> SuiteResult:
+        group_by = list(group_by or [])
+        compiled = self.compile(suite)
+        terms = dedup_terms(compiled)
+        groups = run_fused_pass(self.df, terms, group_by)
+
+        # post passes: one extra bounded job per constraint that needs one
+        for c in compiled:
+            if c.post_pass_fn is not None:
+                updates = c.post_pass_fn(self.df, group_by, groups)
+                for key, metrics in groups:
+                    if key in updates:
+                        metrics.update(updates[key])
+
+        results: list[ConstraintResult] = []
+        for key, metrics in groups:
+            group = dict(zip(group_by, key))
+            for c in compiled:
+                results.append(c.verdict(metrics, group))
+        return SuiteResult(
+            suite_name=suite.name,
+            suite_fingerprint=suite.fingerprint,
+            results=results,
+        )
+
+    # ------------------------------------------------------------------
+    def violation_samples(
+        self,
+        suite: ConstraintSuite,
+        limit: int = 20,
+        only_failed_of: SuiteResult | None = None,
+        key_columns: list[str] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Violating rows per constraint id (deterministic sample).
+
+        When ``only_failed_of`` is given, skips constraints that passed in
+        every group (the reference's early exit). ``key_columns`` projects
+        the sample down (e.g. the north-rule violation key
+        (repo, partition_id, content sha))."""
+        failed_ids: set[str] | None = None
+        if only_failed_of is not None:
+            failed_ids = {
+                r.constraint_id for r in only_failed_of.results if not r.success
+            }
+        out: dict[str, DataFrame] = {}
+        for c in self.compile(suite):
+            if c.violations_fn is None:
+                continue
+            if failed_ids is not None and c.constraint.id not in failed_ids:
+                continue
+            v = c.violations_fn(self.df)
+            if key_columns:
+                v = v.select(*key_columns)
+            out[c.constraint.id] = deterministic_sample(v, limit)
+        return out
+
+    # ------------------------------------------------------------------
+    def expect(self, type: str, **kwargs: Any) -> ConstraintResult:
+        """Interactive single-constraint check (ref Validator.__getattr__
+        dispatch, validator/validator.py:160-233)."""
+        suite = ConstraintSuite(name="__adhoc__", constraints=[Constraint(type, kwargs)])
+        return self.validate(suite).results[0]
+
+
+def add_partition_column(df: DataFrame, n_buckets: int = 64, cols: list[str] | None = None) -> DataFrame:
+    """Deterministic partition_id for per-partition verdicts when the source
+    has no physical partition column: a stable hash bucket (NOT
+    spark_partition_id(), which changes with parallelism)."""
+    cols = cols or df.columns
+    return df.withColumn(
+        "partition_id",
+        F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets)).cast("int"),
+    )
