@@ -1,0 +1,286 @@
+"""Single-pass column profiler — the engine's flagship operation.
+
+Computes, for every requested column, in ONE fused ``groupBy(keys).agg(...)``
+(pass 1):
+  row_count, null_count, approx/exact distinct, min/max/mean/stddev (numeric
+  or length(string)), percentile_approx quantile sketch
+and in ONE more fused pass (pass 2, needs pass-1 min/max for bin edges):
+  equi-width histograms for all numeric columns at once.
+Categorical top-k histograms run one bounded ``groupBy(col).count()`` top-k
+job per low-cardinality column (partial aggregation shrinks the shuffle to
+the distinct-value count).
+
+This is the Spark-first rebuild of the reference's
+``BasicDatasetProfiler._profile`` (profile/basic_dataset_profiler.py:118-335)
++ partition-object builders (dataset/util.py:205-274): same outputs, but a
+constant number of scans regardless of column count, instead of per-metric
+jobs. Output rows follow FIXTURES.md §3 (the drift baseline schema).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType
+
+from data_profiler_spark.plans.fused import AggTerm, metric_alias, run_fused_pass
+
+DEFAULT_QUANTILES = [0.05, 0.25, 0.5, 0.75, 0.95]
+
+
+@dataclass
+class ColumnProfile:
+    column_name: str
+    spark_type: str
+    row_count: int
+    null_count: int
+    approx_distinct: int
+    min_v: float | None = None
+    max_v: float | None = None
+    mean_v: float | None = None
+    stddev_v: float | None = None
+    quantiles: list[float] | None = None
+    quantile_qs: list[float] | None = None
+    hist_bins: list[float] | None = None
+    hist_weights: list[float] | None = None
+    top_k: list[dict[str, Any]] | None = None
+    is_length_profile: bool = False
+
+    @property
+    def nonnull_count(self) -> int:
+        return self.row_count - self.null_count
+
+    def as_baseline(self) -> dict[str, Any]:
+        """Partition-object shape consumed by
+        expect_column_distribution_to_match_baseline."""
+        if self.top_k is not None:
+            total = sum(t["count"] for t in self.top_k) or 1
+            return {
+                "values": [t["value"] for t in self.top_k],
+                "weights": [t["count"] / total for t in self.top_k],
+                "n": self.nonnull_count,
+            }
+        if self.hist_bins is not None:
+            return {
+                "bins": self.hist_bins,
+                "weights": self.hist_weights,
+                "n": self.nonnull_count,
+            }
+        raise ValueError(f"no distribution sketch for column {self.column_name}")
+
+
+@dataclass
+class TableProfile:
+    group: dict[str, Any]
+    columns: dict[str, ColumnProfile] = field(default_factory=dict)
+
+
+def _numeric_expr(df: DataFrame, colname: str):
+    """Numeric view of a column: itself if numeric, length() for strings
+    (the north-rule content-length distribution), None otherwise."""
+    dt = df.schema[colname].dataType
+    if isinstance(dt, NumericType):
+        return F.col(colname), False
+    if isinstance(dt, StringType):
+        return F.length(F.col(colname)), True
+    return None, False
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    group_by: list[str] | None = None,
+    quantiles: list[float] | None = None,
+    top_k: int = 10,
+    categorical_columns: list[str] | None = None,
+    hist_bins: int = 10,
+    approx_distinct: bool = True,
+    quantile_accuracy: int = 10000,
+) -> list[TableProfile]:
+    """Profile ``columns`` (default: all non-grouping columns).
+
+    ``categorical_columns`` get a top-k value histogram (one extra bounded
+    job each); numeric/string columns get an equi-width histogram on
+    length/value (fused pass 2). ``approx_distinct=False`` switches the HLL
+    sketch to exact count_distinct (test-oracle mode)."""
+    group_by = list(group_by or [])
+    columns = list(columns or [c for c in df.columns if c not in group_by])
+    qs = list(quantiles or DEFAULT_QUANTILES)
+    categorical_columns = list(categorical_columns or [])
+
+    # ---- pass 1: one fused agg for everything scalar -------------------
+    terms: list[AggTerm] = [AggTerm(metric_alias("table.row_count"), F.count(F.lit(1)))]
+    aliases: dict[tuple[str, str], str] = {("table", "row_count"): terms[0].alias}
+
+    for c in columns:
+        col = F.col(c)
+        a_null = metric_alias("column.null_count", column=c)
+        a_dist = metric_alias("column.distinct", column=c, approx=approx_distinct)
+        aliases[(c, "null_count")] = a_null
+        aliases[(c, "distinct")] = a_dist
+        terms.append(AggTerm(a_null, F.sum(F.when(col.isNull(), 1).otherwise(0))))
+        terms.append(
+            AggTerm(
+                a_dist,
+                F.approx_count_distinct(col) if approx_distinct else F.count_distinct(col),
+            )
+        )
+        num, _is_len = _numeric_expr(df, c)
+        if num is not None:
+            num_d = num.cast("double")
+            for stat, expr in [
+                ("min", F.min(num_d)),
+                ("max", F.max(num_d)),
+                ("mean", F.mean(num_d)),
+                ("stddev", F.stddev_samp(num_d)),
+                (
+                    "quantiles",
+                    F.percentile_approx(
+                        num_d, F.array(*[F.lit(q) for q in qs]), F.lit(quantile_accuracy)
+                    ),
+                ),
+            ]:
+                a = metric_alias(f"column.{stat}", column=c, q=qs if stat == "quantiles" else None)
+                aliases[(c, stat)] = a
+                terms.append(AggTerm(a, expr))
+
+    groups = run_fused_pass(df, terms, group_by)
+
+    profiles: dict[tuple, TableProfile] = {}
+    for key, metrics in groups:
+        tp = TableProfile(group=dict(zip(group_by, key)))
+        rc = int(metrics[aliases[("table", "row_count")]] or 0)
+        for c in columns:
+            num, is_len = _numeric_expr(df, c)
+            cp = ColumnProfile(
+                column_name=c,
+                spark_type=df.schema[c].dataType.simpleString(),
+                row_count=rc,
+                null_count=int(metrics[aliases[(c, "null_count")]] or 0),
+                approx_distinct=int(metrics[aliases[(c, "distinct")]] or 0),
+                is_length_profile=is_len,
+            )
+            if num is not None:
+                cp.min_v = metrics.get(aliases[(c, "min")])
+                cp.max_v = metrics.get(aliases[(c, "max")])
+                cp.mean_v = metrics.get(aliases[(c, "mean")])
+                cp.stddev_v = metrics.get(aliases[(c, "stddev")])
+                qv = metrics.get(aliases[(c, "quantiles")])
+                cp.quantiles = [float(x) for x in qv] if qv is not None else None
+                cp.quantile_qs = qs
+            tp.columns[c] = cp
+        profiles[key] = tp
+
+    # ---- pass 2: fused equi-width histograms on pass-1 [min, max] ------
+    hist_specs: dict[str, tuple[list[float], list[str]]] = {}
+    hterms: list[AggTerm] = []
+    for c in columns:
+        num, _ = _numeric_expr(df, c)
+        if num is None or hist_bins <= 0:
+            continue
+        lo = min(
+            (tp.columns[c].min_v for tp in profiles.values() if tp.columns[c].min_v is not None),
+            default=None,
+        )
+        hi = max(
+            (tp.columns[c].max_v for tp in profiles.values() if tp.columns[c].max_v is not None),
+            default=None,
+        )
+        if lo is None or hi is None:
+            continue
+        if hi <= lo:
+            hi = lo + 1.0
+        edges = [lo + (hi - lo) * i / hist_bins for i in range(hist_bins + 1)]
+        num_d = num.cast("double")
+        bin_aliases = []
+        for i in range(hist_bins):
+            blo, bhi = edges[i], edges[i + 1]
+            last = i == hist_bins - 1
+            cond = (num_d >= blo) & ((num_d <= bhi) if last else (num_d < bhi))
+            a = metric_alias("column.hist.bin", column=c, i=i, lo=blo, hi=bhi)
+            bin_aliases.append(a)
+            hterms.append(AggTerm(a, F.sum(F.when(cond, 1).otherwise(0))))
+        hist_specs[c] = (edges, bin_aliases)
+
+    if hterms:
+        hgroups = dict(run_fused_pass(df, hterms, group_by))
+        for key, tp in profiles.items():
+            hm = hgroups.get(key, {})
+            for c, (edges, bin_aliases) in hist_specs.items():
+                weights = [float(hm.get(a) or 0) for a in bin_aliases]
+                total = sum(weights)
+                tp.columns[c].hist_bins = edges
+                tp.columns[c].hist_weights = (
+                    [w / total for w in weights] if total else weights
+                )
+
+    # ---- categorical top-k: one bounded job per requested column -------
+    for c in categorical_columns:
+        keys = group_by + [c]
+        counted = (
+            df.where(F.col(c).isNotNull())
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        from pyspark.sql import Window
+
+        if group_by:
+            w = Window.partitionBy(*group_by).orderBy(F.desc("cnt"), F.col(c))
+            top = counted.withColumn("rn", F.row_number().over(w)).where(
+                F.col("rn") <= top_k
+            )
+        else:
+            top = counted.orderBy(F.desc("cnt"), F.col(c)).limit(top_k)
+        for r in top.collect():
+            key = tuple(r[k] for k in group_by) if group_by else ()
+            tp = profiles.get(key)
+            if tp is None:
+                continue
+            cp = tp.columns.setdefault(
+                c,
+                ColumnProfile(
+                    column_name=c,
+                    spark_type=df.schema[c].dataType.simpleString(),
+                    row_count=0, null_count=0, approx_distinct=0,
+                ),
+            )
+            if cp.top_k is None:
+                cp.top_k = []
+            cp.top_k.append({"value": r[c], "count": int(r["cnt"])})
+
+    return list(profiles.values())
+
+
+def profiles_to_rows(
+    profiles: list[TableProfile], run_id: str, suite_id: str, snapshot_id: str = ""
+) -> list[dict[str, Any]]:
+    """Flatten to the FIXTURES.md §3 baseline/results-table schema."""
+    import json
+
+    rows = []
+    for tp in profiles:
+        for c, cp in tp.columns.items():
+            rows.append(
+                {
+                    "run_id": run_id,
+                    "suite_id": suite_id,
+                    "snapshot_id": snapshot_id,
+                    "group_json": json.dumps(tp.group, sort_keys=True, default=str),
+                    "column_name": c,
+                    "row_count": cp.row_count,
+                    "null_count": cp.null_count,
+                    "approx_distinct": cp.approx_distinct,
+                    "min_v": cp.min_v,
+                    "max_v": cp.max_v,
+                    "mean_v": cp.mean_v,
+                    "stddev_v": cp.stddev_v,
+                    "quantiles": cp.quantiles,
+                    "hist_bins": cp.hist_bins,
+                    "hist_weights": cp.hist_weights,
+                    "top_k_json": json.dumps(cp.top_k, default=str) if cp.top_k else None,
+                }
+            )
+    return rows

@@ -1,0 +1,124 @@
+"""Results table: verdicts + lineage + violation samples, keyed for resume.
+
+The Spark-native replacement for the reference's ValidationsStore /
+MetricStore (data_context/store/validations_store.py:27, metric_store.py:16,
+actions.py:671-866): instead of a filesystem/S3 tuple store of JSON blobs,
+verdict rows land in an append-only parquet (Iceberg/Delta in production —
+same API) table keyed
+
+    (run_id, suite_fingerprint, snapshot_id, partition_id, constraint_id)
+
+On re-submission the runner anti-joins planned partitions against completed
+ones and skips them (FIXTURES.md §5 resumability contract). A partition is
+"completed" when its sentinel row (constraint_id = '__partition_done__') is
+present — written LAST, after all verdict rows, so a crash mid-partition
+re-runs that partition.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DONE_SENTINEL = "__partition_done__"
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("suite_fingerprint", T.StringType()),
+        T.StructField("snapshot_id", T.StringType()),
+        T.StructField("partition_id", T.StringType()),
+        T.StructField("constraint_id", T.StringType()),
+        T.StructField("constraint_type", T.StringType()),
+        T.StructField("success", T.BooleanType()),
+        T.StructField("element_count", T.LongType()),
+        T.StructField("unexpected_count", T.LongType()),
+        T.StructField("observed_json", T.StringType()),
+        T.StructField("group_json", T.StringType()),
+        T.StructField("violations_json", T.StringType()),
+        T.StructField("started_at_ms", T.LongType()),
+        T.StructField("finished_at_ms", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+class ResultsStore:
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    # ------------------------------------------------------------------
+    def read(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(RESULT_SCHEMA).parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+
+    def append_rows(self, rows: list[dict[str, Any]]) -> None:
+        if not rows:
+            return
+        df = self.spark.createDataFrame(
+            [tuple(r.get(f.name) for f in RESULT_SCHEMA.fields) for r in rows],
+            RESULT_SCHEMA,
+        )
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+    # ------------------------------------------------------------------
+    def completed_partitions(self, suite_fingerprint: str, snapshot_id: str) -> set[str]:
+        df = self.read()
+        rows = (
+            df.where(
+                (F.col("suite_fingerprint") == suite_fingerprint)
+                & (F.col("snapshot_id") == snapshot_id)
+                & (F.col("constraint_id") == DONE_SENTINEL)
+            )
+            .select("partition_id")
+            .distinct()
+            .collect()
+        )
+        return {r["partition_id"] for r in rows}
+
+    def mark_done(
+        self,
+        run_id: str,
+        suite_fingerprint: str,
+        snapshot_id: str,
+        partition_ids: list[str],
+        lineage: dict[str, Any] | None = None,
+    ) -> None:
+        now = int(time.time() * 1000)
+        self.append_rows(
+            [
+                {
+                    "run_id": run_id,
+                    "suite_fingerprint": suite_fingerprint,
+                    "snapshot_id": snapshot_id,
+                    "partition_id": pid,
+                    "constraint_id": DONE_SENTINEL,
+                    "constraint_type": DONE_SENTINEL,
+                    "success": True,
+                    "observed_json": json.dumps(lineage or {}, default=str),
+                    "started_at_ms": now,
+                    "finished_at_ms": now,
+                    "duration_ms": 0,
+                }
+                for pid in partition_ids
+            ]
+        )
+
+    def verdicts(
+        self, suite_fingerprint: str, snapshot_id: str | None = None
+    ) -> DataFrame:
+        df = self.read().where(
+            (F.col("suite_fingerprint") == suite_fingerprint)
+            & (F.col("constraint_id") != DONE_SENTINEL)
+        )
+        if snapshot_id is not None:
+            df = df.where(F.col("snapshot_id") == snapshot_id)
+        return df

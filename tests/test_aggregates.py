@@ -1,0 +1,147 @@
+"""Aggregate/table constraints vs pandas oracle."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from data_profiler_spark.core.suite import ConstraintSuite
+from data_profiler_spark.validator import Validator
+
+
+@pytest.fixture(scope="module")
+def pdf(typed_small) -> pd.DataFrame:
+    return typed_small.toPandas()
+
+
+def test_fused_suite_aggregates(typed_small, pdf):
+    """All aggregate constraints resolve from ONE fused pass."""
+    nn = pdf["ints"].dropna()
+    suite = (
+        ConstraintSuite("agg")
+        .add("expect_column_min_to_be_between", column="ints", min_value=0, max_value=2)
+        .add("expect_column_max_to_be_between", column="ints", min_value=10, max_value=10)
+        .add("expect_column_mean_to_be_between", column="ints",
+             min_value=nn.mean() - 0.01, max_value=nn.mean() + 0.01)
+        .add("expect_column_median_to_be_between", column="ints",
+             min_value=nn.median(), max_value=nn.median())
+        .add("expect_column_stdev_to_be_between", column="ints",
+             min_value=nn.std(ddof=1) - 0.01, max_value=nn.std(ddof=1) + 0.01)
+        .add("expect_column_sum_to_be_between", column="ints",
+             min_value=nn.sum(), max_value=nn.sum())
+        .add("expect_column_unique_value_count_to_be_between", column="ints",
+             min_value=10, max_value=10)
+        .add("expect_table_row_count_to_equal", value=30)
+    )
+    res = Validator(typed_small).validate(suite)
+    by_type = {r.constraint_type: r for r in res.results}
+    for t, r in by_type.items():
+        assert r.success, (t, r.observed_value, r.exception_info)
+    assert by_type["expect_column_mean_to_be_between"].observed_value == pytest.approx(nn.mean())
+    assert by_type["expect_column_median_to_be_between"].observed_value == pytest.approx(nn.median())
+    assert by_type["expect_column_stdev_to_be_between"].observed_value == pytest.approx(nn.std(ddof=1))
+
+
+def test_quantiles_exact(typed_small, pdf):
+    r = Validator(typed_small).expect(
+        "expect_column_quantile_values_to_be_between",
+        column="floats",
+        quantile_ranges={
+            "quantiles": [0.25, 0.5, 0.75],
+            "value_ranges": [[None, None], [None, None], [None, None]],
+        },
+        exact=True,
+    )
+    assert r.success is True
+    vals = r.observed_value["values"]
+    assert len(vals) == 3
+
+
+def test_unique_proportion(typed_small, pdf):
+    nn = pdf["ints"].dropna()
+    expected = nn.nunique() / len(nn)
+    r = Validator(typed_small).expect(
+        "expect_column_proportion_of_unique_values_to_be_between",
+        column="ints", min_value=expected - 1e-9, max_value=expected + 1e-9,
+    )
+    assert r.success is True
+    assert r.observed_value == pytest.approx(expected)
+
+
+def test_most_common(typed_small):
+    r = Validator(typed_small).expect(
+        "expect_column_most_common_value_to_be_in_set",
+        column="cat", value_set=["a"],
+    )
+    assert r.success is True and r.observed_value == "a"
+
+
+def test_distinct_sets(typed_small):
+    v = Validator(typed_small)
+    assert v.expect(
+        "expect_column_distinct_values_to_be_in_set",
+        column="cat", value_set=["a", "b", "c", "d"],
+    ).success
+    assert v.expect(
+        "expect_column_distinct_values_to_equal_set",
+        column="cat", value_set=["a", "b", "c"],
+    ).success
+    assert v.expect(
+        "expect_column_distinct_values_to_contain_set",
+        column="cat", value_set=["a", "b"],
+    ).success
+    assert not v.expect(
+        "expect_column_distinct_values_to_equal_set",
+        column="cat", value_set=["a", "b"],
+    ).success
+
+
+def test_table_shape(typed_small):
+    v = Validator(typed_small)
+    assert v.expect("expect_table_column_count_to_equal", value=7).success
+    assert v.expect(
+        "expect_table_columns_to_match_ordered_list",
+        column_list=["ints", "floats", "strings", "dates", "cat", "pair_a", "pair_b"],
+    ).success
+    assert v.expect(
+        "expect_table_columns_to_match_set",
+        column_set=["cat", "ints", "floats", "strings", "dates", "pair_a", "pair_b"],
+    ).success
+    assert v.expect("expect_column_to_exist", column="cat").success
+    assert not v.expect("expect_column_to_exist", column="nope").success
+
+
+def test_row_count_other_table(typed_small, spark):
+    other = spark.range(30)
+    r = Validator(typed_small, tables={"other": other}).expect(
+        "expect_table_row_count_to_equal_other_table", other_table_name="other"
+    )
+    assert r.success is True
+    assert r.observed_value == {"self": 30, "other": 30}
+
+
+def test_column_types(typed_small):
+    v = Validator(typed_small)
+    assert v.expect(
+        "expect_column_values_to_be_of_type", column="ints", type_="IntegerType"
+    ).success
+    assert not v.expect(
+        "expect_column_values_to_be_of_type", column="ints", type_="StringType"
+    ).success
+    assert v.expect(
+        "expect_column_values_to_be_in_type_list",
+        column="floats", type_list=["DoubleType", "FloatType"],
+    ).success
+
+
+def test_grouped_validation(typed_small, pdf):
+    """Per-group verdicts from one fused pass (the per-partition model)."""
+    suite = ConstraintSuite("g").add(
+        "expect_column_values_to_not_be_null", column="ints"
+    )
+    res = Validator(typed_small).validate(suite, group_by=["cat"])
+    assert len(res.results) == 3
+    by_group = {r.group["cat"]: r for r in res.results}
+    oracle = pdf.groupby("cat")["ints"].apply(lambda s: s.isna().sum())
+    for g in ["a", "b", "c"]:
+        assert by_group[g].unexpected_count == int(oracle[g])

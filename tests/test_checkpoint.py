@@ -1,0 +1,88 @@
+"""Resumability (FIXTURES.md §5): a partially-completed run resumes by
+validating only missing partitions, and final verdicts match a from-scratch
+run exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_profiler_spark.checkpoint import CheckpointRunner
+from data_profiler_spark.core.suite import ConstraintSuite
+from data_profiler_spark.sources.results_store import ResultsStore
+from data_profiler_spark.validator import add_partition_column
+
+
+@pytest.fixture()
+def suite():
+    return (
+        ConstraintSuite("ckpt")
+        .add("expect_column_values_to_not_be_null", column="content", mostly=0.98)
+        .add("expect_compound_columns_to_be_unique", column_list=["repo", "path", "commit"])
+    )
+
+
+def _verdict_key(r):
+    return (r["partition_id"], r["constraint_id"])
+
+
+def test_checkpoint_resume(spark, code_tables, suite, tmp_path):
+    files, commits = code_tables
+    dfp = add_partition_column(files, n_buckets=6, cols=["repo", "path"])
+
+    # from-scratch reference run
+    store_a = ResultsStore(spark, str(tmp_path / "a"))
+    runner_a = CheckpointRunner(store_a, chunk_size=100)
+    rep_a = runner_a.run(dfp, suite, partition_col="partition_id", snapshot_id="s1",
+                         violation_key_columns=["repo", "path", "commit"])
+    assert rep_a.skipped_partitions == []
+    assert len(rep_a.validated_partitions) == 6
+
+    # partial run: chunk_size=2 and a store pre-seeded with 4 done partitions
+    store_b = ResultsStore(spark, str(tmp_path / "b"))
+    runner_b = CheckpointRunner(store_b, chunk_size=2)
+    first_four = sorted(rep_a.validated_partitions)[:4]
+    # simulate a previous partial run by running only those partitions
+    import pyspark.sql.functions as F
+
+    partial_df = dfp.where(F.col("partition_id").cast("string").isin(first_four))
+    rep_partial = runner_b.run(partial_df, suite, partition_col="partition_id", snapshot_id="s1",
+                               violation_key_columns=["repo", "path", "commit"])
+    assert sorted(rep_partial.validated_partitions) == first_four
+
+    # resume on the FULL table: must skip the 4 done, validate the 2 missing
+    rep_resume = runner_b.run(dfp, suite, partition_col="partition_id", snapshot_id="s1",
+                              violation_key_columns=["repo", "path", "commit"])
+    assert sorted(rep_resume.skipped_partitions) == first_four
+    assert len(rep_resume.validated_partitions) == 2
+
+    # final verdicts identical to the from-scratch run (incl. violation samples)
+    va = {
+        _verdict_key(r): r
+        for r in store_a.verdicts(suite.fingerprint, "s1").collect()
+    }
+    vb = {
+        _verdict_key(r): r
+        for r in store_b.verdicts(suite.fingerprint, "s1").collect()
+    }
+    assert set(va) == set(vb)
+    for k in va:
+        assert va[k]["success"] == vb[k]["success"], k
+        assert va[k]["unexpected_count"] == vb[k]["unexpected_count"], k
+        assert va[k]["element_count"] == vb[k]["element_count"], k
+        assert va[k]["violations_json"] == vb[k]["violations_json"], k
+
+
+def test_rerun_is_noop(spark, code_tables, suite, tmp_path):
+    files, _ = code_tables
+    dfp = add_partition_column(files, n_buckets=4, cols=["repo", "path"])
+    store = ResultsStore(spark, str(tmp_path / "c"))
+    runner = CheckpointRunner(store, chunk_size=100)
+    rep1 = runner.run(dfp, suite, partition_col="partition_id", snapshot_id="s2")
+    rep2 = runner.run(dfp, suite, partition_col="partition_id", snapshot_id="s2")
+    assert len(rep1.validated_partitions) == 4
+    assert rep2.validated_partitions == []
+    assert sorted(rep2.skipped_partitions) == sorted(rep1.validated_partitions)
+
+    # a NEW snapshot invalidates nothing but requires fresh validation
+    rep3 = runner.run(dfp, suite, partition_col="partition_id", snapshot_id="s3")
+    assert len(rep3.validated_partitions) == 4

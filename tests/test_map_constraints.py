@@ -1,0 +1,244 @@
+"""Map constraints vs a pandas oracle on the typed_small fixture
+(reference JSON-case style, self_check/util.py:1820-1948: exact counts,
+order-insensitive unexpected lists)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from data_profiler_spark.core.suite import ConstraintSuite
+from data_profiler_spark.validator import Validator
+
+
+@pytest.fixture(scope="module")
+def pdf(typed_small) -> pd.DataFrame:
+    return typed_small.toPandas()
+
+
+def run_one(df, type_, **kwargs):
+    return Validator(df).expect(type_, **kwargs)
+
+
+def test_not_null(typed_small, pdf):
+    r = run_one(typed_small, "expect_column_values_to_not_be_null", column="ints")
+    assert r.element_count == 30
+    assert r.unexpected_count == int(pdf["ints"].isna().sum()) == 2
+    assert r.success is False
+    r2 = run_one(
+        typed_small, "expect_column_values_to_not_be_null", column="ints", mostly=0.9
+    )
+    assert r2.success is True
+    assert r2.unexpected_percent == pytest.approx(100.0 * 2 / 30)
+
+
+def test_be_null(typed_small, pdf):
+    r = run_one(typed_small, "expect_column_values_to_be_null", column="ints")
+    assert r.unexpected_count == 28
+    assert r.success is False
+
+
+def test_between(typed_small, pdf):
+    r = run_one(
+        typed_small,
+        "expect_column_values_to_be_between",
+        column="ints", min_value=2, max_value=9,
+    )
+    nn = pdf["ints"].dropna()
+    expected_unex = int(((nn < 2) | (nn > 9)).sum())
+    assert r.unexpected_count == expected_unex
+    assert r.missing_count == 2
+    # strict bounds
+    r2 = run_one(
+        typed_small,
+        "expect_column_values_to_be_between",
+        column="ints", min_value=2, max_value=9, strict_min=True, strict_max=True,
+    )
+    assert r2.unexpected_count == int(((nn <= 2) | (nn >= 9)).sum())
+
+
+def test_in_set(typed_small, pdf):
+    r = run_one(
+        typed_small, "expect_column_values_to_be_in_set",
+        column="cat", value_set=["a", "b"],
+    )
+    assert r.unexpected_count == int((pdf["cat"] == "c").sum()) == 8
+    # empty set is vacuously true (reference quirk, column_values_in_set.py:37-42)
+    r2 = run_one(
+        typed_small, "expect_column_values_to_be_in_set", column="cat", value_set=[]
+    )
+    assert r2.success is True and r2.unexpected_count == 0
+
+
+def test_not_in_set(typed_small, pdf):
+    r = run_one(
+        typed_small, "expect_column_values_to_not_be_in_set",
+        column="cat", value_set=["c"],
+    )
+    assert r.unexpected_count == 8
+
+
+def test_regex(typed_small, pdf):
+    r = run_one(
+        typed_small, "expect_column_values_to_match_regex",
+        column="strings", regex="^[a-z]+$",
+    )
+    oracle = int((~pdf["strings"].str.match(r"^[a-z]+$\Z", na=False)).sum())
+    assert r.unexpected_count == oracle
+    r2 = run_one(
+        typed_small, "expect_column_values_to_not_match_regex",
+        column="strings", regex="match",
+    )
+    assert r2.unexpected_count == int(pdf["strings"].str.contains("match").sum())
+
+
+def test_regex_list(typed_small, pdf):
+    r_any = run_one(
+        typed_small, "expect_column_values_to_match_regex_list",
+        column="strings", regex_list=["^alpha", "^beta"], match_on="any",
+    )
+    ok = pdf["strings"].str.contains("^alpha") | pdf["strings"].str.contains("^beta")
+    assert r_any.unexpected_count == int((~ok).sum())
+
+
+def test_value_lengths(typed_small, pdf):
+    r = run_one(
+        typed_small, "expect_column_value_lengths_to_be_between",
+        column="strings", min_value=1, max_value=5,
+    )
+    ln = pdf["strings"].str.len()
+    assert r.unexpected_count == int(((ln < 1) | (ln > 5)).sum())
+    r2 = run_one(
+        typed_small, "expect_column_value_lengths_to_equal", column="cat", value=1
+    )
+    assert r2.success is True
+
+
+def test_strftime(typed_small, pdf):
+    r = run_one(
+        typed_small, "expect_column_values_to_match_strftime_format",
+        column="dates", strftime_format="%Y-%m-%d",
+    )
+    assert r.element_count == 30
+    assert r.unexpected_count == 2  # "not-a-date", "2021-13-99"
+    assert r.success is False
+
+
+def test_json_parseable(spark):
+    df = spark.createDataFrame(
+        [('{"a": 1}',), ("[1,2,3]",), ("not json",), ("42",), (None,)], ["j"]
+    )
+    r = run_one(df, "expect_column_values_to_be_json_parseable", column="j")
+    assert r.element_count == 5
+    assert r.missing_count == 1
+    assert r.unexpected_count == 1
+
+
+def test_json_schema(spark):
+    df = spark.createDataFrame(
+        [('{"a": 1}',), ('{"a": "x"}',), ("nope",)], ["j"]
+    )
+    r = run_one(
+        df, "expect_column_values_to_match_json_schema",
+        column="j",
+        json_schema={"type": "object", "properties": {"a": {"type": "number"}}},
+    )
+    assert r.unexpected_count == 2  # "a" non-number + unparseable
+
+
+def test_zscore(typed_small, pdf):
+    r = run_one(
+        typed_small, "expect_column_value_z_scores_to_be_less_than",
+        column="ints", threshold=1.0, double_sided=True,
+    )
+    nn = pdf["ints"].dropna()
+    z = (nn - nn.mean()) / nn.std(ddof=1)
+    assert r.unexpected_count == int((z.abs() >= 1.0).sum())
+    assert r.details["mean"] == pytest.approx(nn.mean())
+    assert r.details["stddev"] == pytest.approx(nn.std(ddof=1))
+
+
+def test_increasing(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 1.5), (4, 3.0), (5, None)], ["ord", "v"]
+    )
+    r = run_one(
+        df, "expect_column_values_to_be_increasing", column="v", order_by="ord"
+    )
+    assert r.unexpected_count == 1  # 1.5 after 2.0
+    r2 = run_one(
+        df, "expect_column_values_to_be_decreasing", column="v", order_by="ord"
+    )
+    assert r2.unexpected_count == 2
+
+
+def test_pair_equal(typed_small, pdf):
+    r = run_one(
+        typed_small, "expect_column_pair_values_to_be_equal",
+        column_A="pair_a", column_B="pair_b",
+    )
+    both_missing = (pdf["pair_a"].isna() & pdf["pair_b"].isna()).sum()
+    assert r.element_count == 30
+    eq = (pdf["pair_a"] == pdf["pair_b"]) | (pdf["pair_a"].isna() & pdf["pair_b"].isna())
+    assert r.unexpected_count == int((~eq).sum()) - 0
+    assert r.missing_count == int(both_missing)
+
+
+def test_pair_greater(typed_small, pdf):
+    r = run_one(
+        typed_small, "expect_column_pair_values_a_to_be_greater_than_b",
+        column_A="pair_a", column_B="pair_b",
+        ignore_row_if="either_value_is_missing",
+    )
+    mask = pdf["pair_a"].notna() & pdf["pair_b"].notna()
+    assert r.unexpected_count == int(
+        (pdf.loc[mask, "pair_a"] <= pdf.loc[mask, "pair_b"]).sum()
+    )
+    assert r.success is True  # a = b+1 everywhere
+
+
+def test_multicolumn_sum(spark):
+    df = spark.createDataFrame([(1, 2), (2, 1), (3, 3)], ["x", "y"])
+    r = run_one(
+        df, "expect_multicolumn_sum_to_equal", column_list=["x", "y"], sum_total=3
+    )
+    assert r.unexpected_count == 1
+
+
+def test_unique_within_record(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 3), (1, 1, 2), (None, 1, 2), (None, None, None)], ["a", "b", "c"]
+    )
+    r = run_one(
+        df, "expect_select_column_values_to_be_unique_within_record",
+        column_list=["a", "b", "c"],
+    )
+    assert r.element_count == 4
+    assert r.missing_count == 1  # all-null row ignored
+    assert r.unexpected_count == 1  # (1,1,2)
+
+
+def test_row_condition(typed_small, pdf):
+    r = run_one(
+        typed_small, "expect_column_values_to_be_between",
+        column="ints", min_value=3, max_value=10, row_condition="cat = 'a'",
+    )
+    sub = pdf[pdf["cat"] == "a"]["ints"].dropna()
+    assert r.element_count == int((pdf["cat"] == "a").sum())
+    assert r.unexpected_count == int((sub < 3).sum())
+
+
+def test_violation_samples(typed_small):
+    suite = ConstraintSuite("s").add(
+        "expect_column_values_to_be_in_set", column="cat", value_set=["a", "b"]
+    )
+    v = Validator(typed_small)
+    res = v.validate(suite)
+    samples = v.violation_samples(suite, limit=5, only_failed_of=res)
+    (sdf,) = samples.values()
+    rows = sdf.collect()
+    assert len(rows) == 5
+    assert all(r["cat"] == "c" for r in rows)
+    # determinism: re-extraction yields identical rows
+    samples2 = v.violation_samples(suite, limit=5, only_failed_of=res)
+    assert [tuple(r) for r in rows] == [tuple(r) for r in list(samples2.values())[0].collect()]

@@ -1,0 +1,88 @@
+"""Single-pass profiler vs pandas oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_profiler_spark.operators.profile import profile, profiles_to_rows
+
+
+def test_profile_typed_small(typed_small):
+    pdf = typed_small.toPandas()
+    (tp,) = profile(
+        typed_small,
+        columns=["ints", "floats", "cat"],
+        categorical_columns=["cat"],
+        approx_distinct=False,
+        hist_bins=5,
+    )
+    ints = tp.columns["ints"]
+    nn = pdf["ints"].dropna()
+    assert ints.row_count == 30
+    assert ints.null_count == 2
+    assert ints.approx_distinct == nn.nunique()
+    assert ints.min_v == pytest.approx(nn.min())
+    assert ints.max_v == pytest.approx(nn.max())
+    assert ints.mean_v == pytest.approx(nn.mean())
+    assert ints.stddev_v == pytest.approx(nn.std(ddof=1))
+    assert len(ints.quantiles) == 5
+    # histogram: 5 equi-width bins over [min, max], weights sum to 1
+    assert len(ints.hist_bins) == 6
+    assert sum(ints.hist_weights) == pytest.approx(1.0)
+    counts, _ = np.histogram(nn, bins=ints.hist_bins)
+    assert ints.hist_weights == pytest.approx(list(counts / counts.sum()))
+
+    cat = tp.columns["cat"]
+    assert cat.top_k is not None
+    assert cat.top_k[0] == {"value": "a", "count": 12}
+    assert {t["value"]: t["count"] for t in cat.top_k} == {"a": 12, "b": 10, "c": 8}
+
+
+def test_profile_string_length(typed_small):
+    """String columns are profiled on length() — the north-rule
+    content-length distribution."""
+    pdf = typed_small.toPandas()
+    (tp,) = profile(typed_small, columns=["strings"], approx_distinct=False)
+    s = tp.columns["strings"]
+    lens = pdf["strings"].str.len()
+    assert s.is_length_profile
+    assert s.mean_v == pytest.approx(lens.mean())
+    assert s.min_v == pytest.approx(lens.min())
+
+
+def test_profile_grouped(typed_small):
+    pdf = typed_small.toPandas()
+    tps = profile(
+        typed_small, columns=["ints"], group_by=["cat"], approx_distinct=False, hist_bins=0
+    )
+    assert len(tps) == 3
+    by_g = {tp.group["cat"]: tp for tp in tps}
+    for g, sub in pdf.groupby("cat"):
+        assert by_g[g].columns["ints"].row_count == len(sub)
+        nn = sub["ints"].dropna()
+        if len(nn):
+            assert by_g[g].columns["ints"].mean_v == pytest.approx(nn.mean())
+
+
+def test_baseline_roundtrip(typed_small):
+    """Profile sketch feeds the drift constraint directly."""
+    from data_profiler_spark.validator import Validator
+
+    (tp,) = profile(
+        typed_small, columns=["cat"], categorical_columns=["cat"], approx_distinct=False
+    )
+    baseline = tp.columns["cat"].as_baseline()
+    r = Validator(typed_small).expect(
+        "expect_column_distribution_to_match_baseline",
+        column="cat", baseline=baseline, p=0.05,
+    )
+    assert r.success is True  # identical distribution, p == 1
+
+
+def test_profiles_to_rows(typed_small):
+    tps = profile(typed_small, columns=["ints"], approx_distinct=False)
+    rows = profiles_to_rows(tps, run_id="r1", suite_id="s1")
+    assert len(rows) == 1
+    assert rows[0]["column_name"] == "ints"
+    assert rows[0]["row_count"] == 30
