@@ -1,0 +1,93 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + materialize via count()).
+The north-rule scaling benchmark (local[8] vs local[32], files/sec,
+efficiency) lives in benchmarks/bench_scaling.py and reports into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "profile_lineitem",
+    "table_row_counts",
+    "value_counts_lang",
+    "histogram_extendedprice",
+    "distinct_counts_lineitem",
+    "duplicate_key_counts",
+    "referential_orphans",
+    "quantiles_quantity",
+    "increasing_violations",
+    "zscore_outliers",
+    "chi2_lang_stat",
+    "text_token_stats",
+    "text_quality",
+    "dedup_exact_groups",
+    "minhash_band_buckets",
+    "simhash_docs",
+    "embedding_topk",
+    "embedding_topk_ivf",
+    "langid_confusion",
+    "north_profile_by_lang",
+    "north_verdicts",
+]
+
+
+def main() -> None:
+    from data_profiler_spark.core.session import get_spark_session
+    from data_profiler_spark import queries as Q
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark_session(app_name="bench", master=f"local[{cpus}]")
+    spark.range(10).count()  # JVM warm-up outside timed region
+
+    qs = Q.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.count()
+            dt = time.time() - t0
+        except Exception as exc:  # pragma: no cover
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+            dt = float("nan")
+        timings[name] = round(dt, 3)
+        total += dt if dt == dt else 0.0
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

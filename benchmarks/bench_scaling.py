@@ -1,0 +1,195 @@
+"""North-rule scaling benchmark: the SAME full validation job (profile +
+uniqueness + referential + drift + verdict write) at two parallelism levels
+(local[8] vs local[32] — the sandbox proxy for N vs 4N executors), reporting
+validated files/sec at each and the scaling efficiency
+(throughput_32 / throughput_8) / 4 (target >= 0.8, BASELINE.json).
+
+Protocol (BASELINE.md):
+  1. materialize the deterministic code table ONCE to local parquet;
+  2. run the job via a fresh spark-submit-style subprocess per parallelism
+     (new JVM, same heap, same input files), >= ``--reps`` repetitions;
+  3. report median wall-clock, files/sec, efficiency, per-phase timings.
+
+Usage:
+  python benchmarks/bench_scaling.py [--rows 1000000] [--reps 3]
+      [--out BENCH.md]
+  python benchmarks/bench_scaling.py --worker <cpus> <data_dir>   # internal
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+DATA_DIR = Path("/tmp/dps_bench_data")
+
+
+def materialize(rows: int) -> tuple[Path, Path]:
+    files_path = DATA_DIR / f"code_files_{rows}"
+    commits_path = DATA_DIR / "commits"
+    if files_path.exists() and commits_path.exists():
+        return files_path, commits_path
+    from data_profiler_spark.core.session import get_spark_session
+    from data_profiler_spark.sources.code_table import (
+        generate_code_files,
+        generate_commits,
+    )
+
+    spark = get_spark_session(app_name="bench_gen", master="local[32]")
+    generate_code_files(spark, rows, seed=42, partitions=64).write.mode(
+        "overwrite"
+    ).parquet(str(files_path))
+    generate_commits(spark).write.mode("overwrite").parquet(str(commits_path))
+    spark.stop()
+    return files_path, commits_path
+
+
+def run_job(cpus: int, files_path: Path, commits_path: Path) -> dict:
+    """The full validation job — executed in THIS process (called via a
+    fresh subprocess per measurement so each run gets a cold JVM)."""
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.core.session import get_spark_session
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.operators.profile import profile
+    from data_profiler_spark.validator import Validator, add_partition_column
+
+    spark = get_spark_session(app_name=f"bench_{cpus}", master=f"local[{cpus}]",
+                              shuffle_partitions=cpus)
+    spark.range(10).count()
+    phases: dict[str, float] = {}
+
+    t0 = time.time()
+    files = spark.read.parquet(str(files_path))
+    commits = spark.read.parquet(str(commits_path))
+    files = add_partition_column(files, n_buckets=64, cols=["repo", "path"])
+    n_files = files.count()
+    phases["scan_count"] = time.time() - t0
+
+    t0 = time.time()
+    profs = profile(
+        files,
+        columns=["repo", "path", "commit", "lang", "content"],
+        categorical_columns=["lang"],
+        hist_bins=10,
+    )
+    phases["fused_profile"] = time.time() - t0
+
+    baseline = profs[0].columns["lang"].as_baseline()
+    suite = (
+        ConstraintSuite("north_bench")
+        .add("expect_column_values_to_not_be_null", column="content", mostly=0.98)
+        .add("expect_column_value_lengths_to_be_between",
+             column="content", min_value=0, max_value=1_000_000)
+        .add("expect_compound_columns_to_be_unique",
+             column_list=["repo", "path", "commit"])
+        .add("expect_compound_columns_to_exist_in_table",
+             column_list=["repo", "commit"], other_table_name="commits",
+             mostly=0.99)
+        .add("expect_column_distribution_to_match_baseline",
+             column="lang", baseline=baseline, p=0.001)
+    )
+    t0 = time.time()
+    v = Validator(files, tables={"commits": commits})
+    result = v.validate(suite, group_by=["partition_id"])
+    phases["constraints"] = time.time() - t0
+
+    t0 = time.time()
+    samples = v.violation_samples(suite, limit=20, only_failed_of=result,
+                                  key_columns=["partition_id", "repo", "path", "commit"])
+    n_samples = sum(s.count() for s in samples.values())
+    phases["violations"] = time.time() - t0
+
+    total = sum(phases.values())
+    out = {
+        "cpus": cpus,
+        "n_files": n_files,
+        "total_sec": round(total, 3),
+        "files_per_sec": round(n_files / total, 1),
+        "phases": {k: round(v, 3) for k, v in phases.items()},
+        "n_constraint_results": len(result.results),
+        "n_violation_samples": n_samples,
+    }
+    spark.stop()
+    return out
+
+
+def measure(cpus: int, files_path: Path, commits_path: Path, reps: int) -> list[dict]:
+    runs = []
+    for _ in range(reps):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--worker", str(cpus),
+             str(files_path), str(commits_path)],
+            capture_output=True, text=True, cwd=str(Path(__file__).parent.parent),
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            print(proc.stdout, proc.stderr, file=sys.stderr)
+            raise RuntimeError(f"worker failed (cpus={cpus})")
+        runs.append(json.loads(line[-1]))
+    return runs
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        i = sys.argv.index("--worker")
+        cpus = int(sys.argv[i + 1])
+        print(json.dumps(run_job(cpus, Path(sys.argv[i + 2]), Path(sys.argv[i + 3]))))
+        return
+
+    rows = 1_000_000
+    reps = 3
+    out_md = None
+    args = sys.argv[1:]
+    if "--rows" in args:
+        rows = int(args[args.index("--rows") + 1])
+    if "--reps" in args:
+        reps = int(args[args.index("--reps") + 1])
+    if "--out" in args:
+        out_md = args[args.index("--out") + 1]
+
+    files_path, commits_path = materialize(rows)
+    results = {}
+    for cpus in (8, 32):
+        runs = measure(cpus, files_path, commits_path, reps)
+        med = statistics.median(r["total_sec"] for r in runs)
+        results[cpus] = {
+            "median_sec": med,
+            "files_per_sec": round(runs[0]["n_files"] / med, 1),
+            "runs": runs,
+        }
+    eff = (results[32]["files_per_sec"] / results[8]["files_per_sec"]) / 4.0
+    report = {
+        "metric": "validated_files_per_sec",
+        "rows": rows,
+        "reps": reps,
+        "local8": results[8],
+        "local32": results[32],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+    }
+    print(json.dumps(report))
+    if out_md:
+        lines = [
+            "## Scaling benchmark (north rule: N vs 4N parallelism)\n",
+            f"- input: {rows:,} code_files rows (deterministic parquet), "
+            f"{reps} reps, median reported",
+            f"- local[8]:  {results[8]['median_sec']}s  "
+            f"({results[8]['files_per_sec']} files/sec)",
+            f"- local[32]: {results[32]['median_sec']}s  "
+            f"({results[32]['files_per_sec']} files/sec)",
+            f"- **scaling efficiency (T8/T32)/4 = {eff:.3f}** (target >= 0.8)",
+            f"- phases (local[32], run 1): "
+            f"{json.dumps(results[32]['runs'][0]['phases'])}",
+        ]
+        Path(out_md).write_text("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,10 @@ def get_spark_session(
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     conf["spark.default.parallelism"] = str(shuffle_partitions)
+    # File scans bin-pack by COMPRESSED bytes; highly compressible text
+    # (source code) otherwise collapses to 1-2 scan partitions and serializes
+    # every aggregate. Force at least one split per core.
+    conf["spark.sql.files.minPartitionNum"] = str(shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -667,7 +667,9 @@ def q_north_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused single-pass profile of the synthetic code table by lang."""
     from data_profiler_spark.sources.code_table import generate_code_files
 
-    df = generate_code_files(spark, 20000, seed=42)
+    # persist: the profiler's two fused passes + top-k would otherwise
+    # regenerate the (string-heavy) table per job
+    df = generate_code_files(spark, 20000, seed=42).persist()
     ln = F.length("content")
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("row_count"),
@@ -695,7 +697,7 @@ def q_north_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     files = add_partition_column(
         generate_code_files(spark, 20000, seed=42), n_buckets=8, cols=["repo", "path"]
-    )
+    ).persist()
     commits = generate_commits(spark)
     suite = (
         ConstraintSuite("north")

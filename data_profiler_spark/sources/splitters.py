@@ -1,0 +1,76 @@
+"""Splitters & samplers — SURVEY §2.1.
+
+The reference's batch splitters/samplers
+(sparkdf_execution_engine.py:698-864) re-expressed with native functions
+only. Its md5/sha Python UDFs (``:766-795, 832-864``) become
+``pmod(xxhash64(col), k)`` / ``sha2`` — JVM-side, codegen-friendly, and
+usable as Iceberg partition predicates for pruning.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---- splitters (logical partitioning of one table) -----------------------
+
+def split_on_column_value(df: DataFrame, column: str, value: Any) -> DataFrame:
+    return df.where(F.col(column) == F.lit(value))
+
+
+def split_on_converted_datetime(
+    df: DataFrame, column: str, date_format: str, value: str
+) -> DataFrame:
+    """ref: _split_on_converted_datetime (from_unixtime + format filter)."""
+    return df.where(F.date_format(F.col(column), date_format) == F.lit(value))
+
+
+def split_on_divided_integer(df: DataFrame, column: str, divisor: int, value: int) -> DataFrame:
+    return df.where((F.col(column) / divisor).cast("int") == F.lit(value))
+
+
+def split_on_mod_integer(df: DataFrame, column: str, mod: int, value: int) -> DataFrame:
+    return df.where(F.pmod(F.col(column), F.lit(mod)) == F.lit(value))
+
+
+def split_on_multi_column_values(df: DataFrame, values: dict[str, Any]) -> DataFrame:
+    out = df
+    for c, v in values.items():
+        out = out.where(F.col(c) == F.lit(v))
+    return out
+
+
+def split_on_hashed_column(df: DataFrame, column: str, buckets: int, value: int) -> DataFrame:
+    """Native replacement for the reference's sha256-UDF split
+    (sparkdf_execution_engine.py:766-795)."""
+    return df.where(hash_bucket(F.col(column), buckets) == F.lit(value))
+
+
+def hash_bucket(col: Column, buckets: int) -> Column:
+    return F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int")
+
+
+# ---- samplers -------------------------------------------------------------
+
+def sample_using_random(df: DataFrame, p: float, seed: int = 42) -> DataFrame:
+    """ref: _sample_using_random (F.rand(seed) < p). df.sample is the
+    idiomatic equivalent (per-partition Bernoulli, no extra column)."""
+    return df.sample(fraction=p, seed=seed)
+
+
+def sample_using_mod(df: DataFrame, column: str, mod: int, value: int) -> DataFrame:
+    return df.where(F.pmod(F.col(column), F.lit(mod)) == F.lit(value))
+
+
+def sample_using_a_list(df: DataFrame, column: str, value_list: list[Any]) -> DataFrame:
+    return df.where(F.col(column).isin(value_list))
+
+
+def sample_using_hash(df: DataFrame, column: str, buckets: int = 10, value: int = 0) -> DataFrame:
+    """Native replacement for the md5-UDF sampler
+    (sparkdf_execution_engine.py:832-864): deterministic, seedable via the
+    bucket count, and pushes into codegen."""
+    return df.where(hash_bucket(F.col(column), buckets) == F.lit(value))

@@ -58,19 +58,32 @@ class Validator:
         self,
         suite: ConstraintSuite,
         group_by: list[str] | None = None,
+        persist: bool = False,
     ) -> SuiteResult:
+        """``persist=True`` caches the input across the fused pass and the
+        post-pass jobs (worth it when the input is expensive to recompute
+        and >1 job will scan it — the reference's ``persist`` engine option,
+        sparkdf_execution_engine.py:151-156)."""
         group_by = list(group_by or [])
         compiled = self.compile(suite)
         terms = dedup_terms(compiled)
-        groups = run_fused_pass(self.df, terms, group_by)
+        n_jobs = 1 + sum(1 for c in compiled if c.post_pass_fn is not None)
+        do_persist = persist and n_jobs > 1
+        if do_persist:
+            self.df.persist()
+        try:
+            groups = run_fused_pass(self.df, terms, group_by)
 
-        # post passes: one extra bounded job per constraint that needs one
-        for c in compiled:
-            if c.post_pass_fn is not None:
-                updates = c.post_pass_fn(self.df, group_by, groups)
-                for key, metrics in groups:
-                    if key in updates:
-                        metrics.update(updates[key])
+            # post passes: one extra bounded job per constraint that needs one
+            for c in compiled:
+                if c.post_pass_fn is not None:
+                    updates = c.post_pass_fn(self.df, group_by, groups)
+                    for key, metrics in groups:
+                        if key in updates:
+                            metrics.update(updates[key])
+        finally:
+            if do_persist:
+                self.df.unpersist()
 
         results: list[ConstraintResult] = []
         for key, metrics in groups:

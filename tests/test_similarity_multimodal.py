@@ -1,0 +1,144 @@
+"""ANN similarity + multimodal plumbing + streaming + autoprofile."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(42)
+    vecs = rng.randn(40, 8).astype("float32")
+    vecs[1] = vecs[0] * 2.0  # same direction as 0 -> cosine 1
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, vecs
+
+
+def test_bruteforce_topk_matches_numpy(vectors):
+    from data_profiler_spark.operators.similarity import ann_topk_bruteforce
+
+    df, vecs = vectors
+    q = df.where("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ann_topk_bruteforce(df, q, k=5).orderBy("rank").collect()
+    v = vecs.astype("float64")
+    sims = (v @ v[0]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    order = sorted(range(40), key=lambda i: (-round(sims[i], 6), i))[:5]
+    assert [r["vec_id"] for r in got] == order
+    for r in got:
+        assert r["sim"] == pytest.approx(round(sims[r["vec_id"]], 6), abs=2e-6)
+    assert got[0]["vec_id"] in (0, 1) and got[0]["sim"] == pytest.approx(1.0)
+
+
+def test_ivf_recall(vectors):
+    from data_profiler_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+    )
+
+    df, _ = vectors
+    q = df.where("vec_id IN (0, 7)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann_topk_bruteforce(df, q, k=3).collect()
+    approx = ann_topk_ivf(df, q, k=3, n_centroids=8, nprobe=8).collect()
+    # nprobe == n_centroids -> IVF degenerates to exact: identical results
+    key = lambda rows: sorted((r["query_id"], r["vec_id"], r["sim"]) for r in rows)  # noqa: E731
+    assert key(exact) == key(approx)
+
+
+def test_embedding_near_dup(vectors):
+    from data_profiler_spark.operators.similarity import embedding_near_dup_pairs
+
+    df, _ = vectors
+    pairs = embedding_near_dup_pairs(df, threshold=0.999).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_multimodal_image_features(spark):
+    from data_profiler_spark.operators.multimodal import (
+        extract_image_features,
+        sample_video_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=30, seed=42)
+    feats = extract_image_features(media).collect()
+    assert len(feats) == media.where("media_type = 'image'").count() > 0
+    f0 = {r["media_id"]: r for r in feats}
+    # deterministic: rerun produces identical features
+    f1 = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert all(tuple(f0[k]) == tuple(f1[k]) for k in f0)
+    assert all(r["width"] >= 64 and r["content_sha"] for r in feats)
+
+    frames = sample_video_frames(media, n_frames=3).collect()
+    vids = media.where("media_type = 'video'").count()
+    assert len(frames) == 3 * vids
+    assert len({(r["media_id"], r["frame_index"]) for r in frames}) == len(frames)
+
+
+def test_streaming_profile(spark, tmp_path):
+    from data_profiler_spark.streaming.profile_stream import streaming_profile
+
+    src = str(tmp_path / "stream_src")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = streaming_profile(
+        stream, time_col="ts", columns=["event_type", "value"], window="1 day"
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_profile_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM stream_profile_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) > 0
+    total = sum(r["row_count"] for r in rows)
+    assert total == spark.read.parquet(src).count()
+    assert all(r["value__mean"] is not None for r in rows)
+
+
+def test_autoprofile_suite(typed_small):
+    from data_profiler_spark.operators.autoprofile import build_suite_from_profile
+    from data_profiler_spark.operators.profile import profile
+    from data_profiler_spark.validator import Validator
+
+    (tp,) = profile(
+        typed_small,
+        columns=["ints", "floats", "cat"],
+        categorical_columns=["cat"],
+        approx_distinct=False,
+    )
+    suite = build_suite_from_profile(tp)
+    types = {c.type for c in suite.constraints}
+    assert "expect_column_values_to_not_be_null" in types
+    assert "expect_column_distinct_values_to_be_in_set" in types
+    assert "expect_column_mean_to_be_between" in types
+    # the auto suite must PASS on the data it was built from
+    res = Validator(typed_small).validate(suite)
+    failed = [r for r in res.results if not r.success]
+    assert failed == [], [(r.constraint_type, r.kwargs, r.observed_value) for r in failed]
+
+
+def test_splitters_samplers(spark):
+    from data_profiler_spark.sources import splitters as S
+
+    df = spark.range(1000).withColumn("k", F.col("id") % 7)
+    assert S.split_on_mod_integer(df, "id", 10, 3).count() == 100
+    parts = [S.split_on_hashed_column(df, "id", 4, v).count() for v in range(4)]
+    assert sum(parts) == 1000 and all(p > 0 for p in parts)
+    assert S.sample_using_a_list(df, "k", [0, 1]).count() == df.where("k in (0,1)").count()
+    s = S.sample_using_hash(df, "id", buckets=5, value=2)
+    assert 0 < s.count() < 1000
+    # deterministic
+    assert s.count() == S.sample_using_hash(df, "id", buckets=5, value=2).count()

@@ -1,0 +1,124 @@
+"""Text analysis + dedup operators (python oracles on tiny data)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (3, "der hund ist von der katze und das haus"),
+        (4, "el perro y la casa de un gato en que"),
+        (5, "completely different content about spark engines and parquet"),
+        (6, ""),
+        (7, "数据 验证 引擎"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_tokens_and_quality(docs):
+    from data_profiler_spark.operators.text import with_quality_features
+
+    out = {r["doc_id"]: r for r in with_quality_features(docs, "text").collect()}
+    assert out[0]["n_tokens"] == 9
+    assert out[6]["n_tokens"] == 0 and out[6]["quality_score"] is not None
+    assert out[0]["stopword_ratio"] > 0  # 'the' x2 + 'over'
+    assert 0.0 <= out[5]["quality_score"] <= 1.0
+
+
+def test_language_id(docs):
+    from data_profiler_spark.operators.text import with_language_id
+
+    out = {r["doc_id"]: r["lang_pred"] for r in with_language_id(docs, "text").collect()}
+    assert out[0] == "en"
+    assert out[3] == "de"
+    assert out[4] == "es"
+    assert out[7] == "zh"
+    assert out[6] == "und"
+
+
+def test_fingerprints(docs, spark):
+    from data_profiler_spark.operators.text import (
+        normalized_fingerprint,
+        rolling_fingerprint,
+    )
+
+    out = docs.select(
+        "doc_id",
+        normalized_fingerprint(F.col("text")).alias("fp"),
+        rolling_fingerprint(F.col("text")).alias("rh"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # identical docs -> identical fingerprints (both kinds)
+    assert by_id[0]["fp"] == by_id[1]["fp"]
+    assert by_id[0]["rh"] == by_id[1]["rh"]
+    assert by_id[0]["fp"] != by_id[2]["fp"]
+    # oracle: md5 of normalized text
+    assert (
+        by_id[0]["fp"]
+        == hashlib.md5(b"the quick brown fox jumps over the lazy dog").hexdigest()
+    )
+
+
+def test_exact_dedup(docs):
+    from data_profiler_spark.operators.dedup import dedup_exact, exact_dup_groups
+
+    groups = exact_dup_groups(docs, "doc_id", "text")
+    dup = groups.where("n_docs > 1").collect()
+    assert len(dup) == 1 and dup[0]["n_docs"] == 2 and dup[0]["keep_id"] == 0
+    kept = dedup_exact(docs, "doc_id", "text")
+    assert kept.count() == 7
+    assert kept.where("doc_id = 1").count() == 0
+
+
+def test_minhash_near_dup(docs):
+    from data_profiler_spark.operators.dedup import near_dup_pairs_minhash
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs_minhash(
+            docs.where("doc_id < 6"), "doc_id", "text", n_hashes=8, band_size=2
+        ).collect()
+    }
+    assert (0, 1) in pairs  # identical docs always collide on every band
+    assert (0, 5) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_near_dup(docs):
+    from data_profiler_spark.operators.dedup import near_dup_pairs_simhash, simhash
+
+    sh = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash(F.col("text"), 32).alias("s")).collect()
+    }
+    assert sh[0] == sh[1]
+    assert 0 <= sh[0] < 2**32
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in near_dup_pairs_simhash(
+            docs.where("doc_id < 6"), "doc_id", "text", bits=32, bands=4, max_hamming=6
+        ).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+
+
+def test_jaccard_pairs(docs):
+    from data_profiler_spark.operators.dedup import jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            docs.where("doc_id < 6"), "doc_id", "text", shingle_n=1, threshold=0.5
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    # docs 0/2 share 8 of 10 distinct tokens -> j = 8/10
+    assert pairs[(0, 2)] == pytest.approx(0.8)
+    assert (0, 5) not in pairs
