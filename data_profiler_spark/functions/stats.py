@@ -120,9 +120,24 @@ def cramers_v(table) -> float:
 
 
 def kolmogorov_sf(lam: float, terms: int = 100) -> float:
-    """Asymptotic Kolmogorov distribution survival Q(lam) = 2 sum (-1)^{k-1} e^{-2 k^2 lam^2}."""
+    """Kolmogorov distribution survival function Q(lam).
+
+    Large lam: the alternating series 2 sum (-1)^{k-1} e^{-2 k^2 lam^2}.
+    Small lam (< 0.755): that series converges too slowly (each term ~2), so
+    use the Jacobi-theta complement
+        Q = 1 - (sqrt(2 pi)/lam) sum e^{-(2k-1)^2 pi^2 / (8 lam^2)}
+    (same split scipy.special.kolmogorov uses)."""
     if lam <= 0:
         return 1.0
+    if lam < 0.755:
+        s = 0.0
+        for k in range(1, terms + 1):
+            term = math.exp(-((2 * k - 1) ** 2) * math.pi**2 / (8.0 * lam * lam))
+            s += term
+            if term < 1e-18:
+                break
+        cdf = math.sqrt(2.0 * math.pi) / lam * s
+        return float(min(max(1.0 - cdf, 0.0), 1.0))
     total = 0.0
     for k in range(1, terms + 1):
         term = 2.0 * (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)

@@ -27,14 +27,12 @@ def classify_cardinality(cp: ColumnProfile) -> str:
     pct = d / n if n else 0.0
     if d == n:
         return "UNIQUE"
-    if pct > 0.1:
-        return "VERY_MANY"
-    if pct > 0.02:
-        return "MANY"
     if d < 60:
         return "VERY_FEW"
     if d < 1000:
         return "FEW"
+    if pct > 0.1:
+        return "VERY_MANY"
     return "MANY"
 
 

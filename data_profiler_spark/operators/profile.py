@@ -80,8 +80,17 @@ class TableProfile:
 
 def _numeric_expr(df: DataFrame, colname: str):
     """Numeric view of a column: itself if numeric, length() for strings
-    (the north-rule content-length distribution), None otherwise."""
+    (the north-rule content-length distribution), None otherwise.
+
+    Float/double columns are NaN-masked (NaN -> NULL) so min/max/mean/
+    stddev/quantiles/histograms skip NaN like the pandas oracle — Spark
+    would otherwise propagate NaN into mean and sort it above max."""
+    from pyspark.sql.types import DoubleType, FloatType
+
     dt = df.schema[colname].dataType
+    if isinstance(dt, (DoubleType, FloatType)):
+        c = F.col(colname)
+        return F.when(~F.isnan(c), c), False
     if isinstance(dt, NumericType):
         return F.col(colname), False
     if isinstance(dt, StringType):
@@ -111,6 +120,26 @@ def profile(
     qs = list(quantiles or DEFAULT_QUANTILES)
     categorical_columns = list(categorical_columns or [])
 
+    # Project derived numeric views ONCE. Catalyst does not reliably
+    # eliminate the common length(col) subexpression ACROSS aggregate
+    # expressions, so min/max/mean/stddev/quantiles would each re-walk the
+    # (potentially megabyte) string — at 100 TB that is the difference
+    # between one blob read and five.
+    proj: list = [F.col(c) for c in dict.fromkeys(group_by + columns)]
+    len_cols: dict[str, str] = {}
+    for c in columns:
+        num, is_len = _numeric_expr(df, c)
+        if num is not None and is_len:
+            len_cols[c] = f"__len_{c}"
+            proj.append(num.cast("double").alias(len_cols[c]))
+    base = df.select(*proj)
+
+    def _num(c: str):
+        if c in len_cols:
+            return F.col(len_cols[c])
+        num, _ = _numeric_expr(df, c)
+        return num.cast("double") if num is not None else None
+
     # ---- pass 1: one fused agg for everything scalar -------------------
     terms: list[AggTerm] = [AggTerm(metric_alias("table.row_count"), F.count(F.lit(1)))]
     aliases: dict[tuple[str, str], str] = {("table", "row_count"): terms[0].alias}
@@ -128,9 +157,8 @@ def profile(
                 F.approx_count_distinct(col) if approx_distinct else F.count_distinct(col),
             )
         )
-        num, _is_len = _numeric_expr(df, c)
-        if num is not None:
-            num_d = num.cast("double")
+        num_d = _num(c)
+        if num_d is not None:
             for stat, expr in [
                 ("min", F.min(num_d)),
                 ("max", F.max(num_d)),
@@ -147,7 +175,7 @@ def profile(
                 aliases[(c, stat)] = a
                 terms.append(AggTerm(a, expr))
 
-    groups = run_fused_pass(df, terms, group_by)
+    groups = run_fused_pass(base, terms, group_by)
 
     profiles: dict[tuple, TableProfile] = {}
     for key, metrics in groups:
@@ -178,8 +206,8 @@ def profile(
     hist_specs: dict[str, tuple[list[float], list[str]]] = {}
     hterms: list[AggTerm] = []
     for c in columns:
-        num, _ = _numeric_expr(df, c)
-        if num is None or hist_bins <= 0:
+        num_d = _num(c)
+        if num_d is None or hist_bins <= 0:
             continue
         lo = min(
             (tp.columns[c].min_v for tp in profiles.values() if tp.columns[c].min_v is not None),
@@ -194,7 +222,6 @@ def profile(
         if hi <= lo:
             hi = lo + 1.0
         edges = [lo + (hi - lo) * i / hist_bins for i in range(hist_bins + 1)]
-        num_d = num.cast("double")
         bin_aliases = []
         for i in range(hist_bins):
             blo, bhi = edges[i], edges[i + 1]
@@ -206,7 +233,7 @@ def profile(
         hist_specs[c] = (edges, bin_aliases)
 
     if hterms:
-        hgroups = dict(run_fused_pass(df, hterms, group_by))
+        hgroups = dict(run_fused_pass(base, hterms, group_by))
         for key, tp in profiles.items():
             hm = hgroups.get(key, {})
             for c, (edges, bin_aliases) in hist_specs.items():

@@ -62,7 +62,7 @@ def ann_topk_bruteforce(
         F.desc("sim"), F.col(id_col)
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "sim", "rank")
     )
@@ -142,7 +142,7 @@ def ann_topk_ivf(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "sim", "rank")
     )

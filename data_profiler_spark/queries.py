@@ -61,7 +61,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
        CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
        COUNT(DISTINCT l_orderkey) AS n_orders,
-       SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
@@ -110,10 +110,10 @@ def q_table_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_query(
     "null_counts_orders",
     """
-SELECT SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_orderkey,
-       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
-       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null_status,
-       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_totalprice,
+SELECT CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_status,
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_totalprice,
        COUNT(*) AS row_count
 FROM orders
 """,
@@ -149,8 +149,8 @@ def q_value_counts_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "between_counts_quantity",
     """
 SELECT COUNT(*) AS element_count,
-       SUM(CASE WHEN l_quantity >= 10 AND l_quantity <= 40 THEN 1 ELSE 0 END) AS in_range,
-       SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 10 OR l_quantity > 40) THEN 1 ELSE 0 END) AS unexpected_count
+       CAST(SUM(CASE WHEN l_quantity >= 10 AND l_quantity <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS in_range,
+       CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 10 OR l_quantity > 40) THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count
 FROM lineitem
 """,
 )
@@ -167,12 +167,12 @@ def q_between_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HIST_ORACLE = """
-SELECT SUM(CASE WHEN l_extendedprice >= 0 AND l_extendedprice < 20000 THEN 1 ELSE 0 END) AS bin_0,
-       SUM(CASE WHEN l_extendedprice >= 20000 AND l_extendedprice < 40000 THEN 1 ELSE 0 END) AS bin_1,
-       SUM(CASE WHEN l_extendedprice >= 40000 AND l_extendedprice < 60000 THEN 1 ELSE 0 END) AS bin_2,
-       SUM(CASE WHEN l_extendedprice >= 60000 AND l_extendedprice <= 80000 THEN 1 ELSE 0 END) AS bin_3,
-       SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS below,
-       SUM(CASE WHEN l_extendedprice > 80000 THEN 1 ELSE 0 END) AS above
+SELECT CAST(SUM(CASE WHEN l_extendedprice >= 0 AND l_extendedprice < 20000 THEN 1 ELSE 0 END) AS BIGINT) AS bin_0,
+       CAST(SUM(CASE WHEN l_extendedprice >= 20000 AND l_extendedprice < 40000 THEN 1 ELSE 0 END) AS BIGINT) AS bin_1,
+       CAST(SUM(CASE WHEN l_extendedprice >= 40000 AND l_extendedprice < 60000 THEN 1 ELSE 0 END) AS BIGINT) AS bin_2,
+       CAST(SUM(CASE WHEN l_extendedprice >= 60000 AND l_extendedprice <= 80000 THEN 1 ELSE 0 END) AS BIGINT) AS bin_3,
+       CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS below,
+       CAST(SUM(CASE WHEN l_extendedprice > 80000 THEN 1 ELSE 0 END) AS BIGINT) AS above
 FROM lineitem
 """
 
@@ -284,8 +284,8 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_query(
     "regex_priority_counts",
     """
-SELECT SUM(CASE WHEN regexp_matches(o_orderpriority, '^1-URGENT') THEN 1 ELSE 0 END) AS urgent,
-       SUM(CASE WHEN regexp_matches(o_orderpriority, '^[12]-') THEN 1 ELSE 0 END) AS high,
+SELECT CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^1-URGENT') THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+       CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[12]-') THEN 1 ELSE 0 END) AS BIGINT) AS high,
        COUNT(*) AS element_count
 FROM orders
 """,
@@ -352,8 +352,8 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_query(
     "pair_comparison_counts",
     """
-SELECT SUM(CASE WHEN l_discount > l_tax THEN 1 ELSE 0 END) AS discount_gt_tax,
-       SUM(CASE WHEN l_discount = l_tax THEN 1 ELSE 0 END) AS discount_eq_tax,
+SELECT CAST(SUM(CASE WHEN l_discount > l_tax THEN 1 ELSE 0 END) AS BIGINT) AS discount_gt_tax,
+       CAST(SUM(CASE WHEN l_discount = l_tax THEN 1 ELSE 0 END) AS BIGINT) AS discount_eq_tax,
        COUNT(*) AS element_count
 FROM lineitem
 """,
@@ -406,8 +406,8 @@ def q_chi2_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
-       SUM(len(text)) AS total_chars
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY source
 """,
 )
@@ -438,8 +438,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length(c)
     return d.where(F.length(c) > 0).select(
         "doc_id",
-        n_chars.alias("n_chars"),
-        F.size(F.split(F.trim(c), r"\s+")).alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        F.size(F.split(F.trim(c), r"\s+")).cast("long").alias("n_tokens"),
         F.round(
             F.length(F.regexp_replace(c, r"[a-zA-Z0-9_\s]", "")).cast("double") / n_chars, 6
         ).alias("punct_ratio"),

@@ -32,6 +32,10 @@ def streaming_profile(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """One windowed fused agg for all requested columns."""
+    # watermarks require TIMESTAMP (with zone); parquet TIMESTAMP_NTZ (the
+    # Spark 4 default read for unadjusted parquet timestamps) is rejected
+    if stream.schema[time_col].dataType.typeName() != "timestamp":
+        stream = stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
     aggs: list[Column] = [F.count(F.lit(1)).alias("row_count")]
     for c in columns:
         col = F.col(c)

@@ -119,6 +119,6 @@ def test_jaccard_pairs(docs):
         ).collect()
     }
     assert pairs[(0, 1)] == 1.0
-    # docs 0/2 share 8 of 10 distinct tokens -> j = 8/10
-    assert pairs[(0, 2)] == pytest.approx(0.8)
+    # docs 0/2: 8 distinct tokens each, 7 shared (jumps vs leaps) -> 7/9
+    assert pairs[(0, 2)] == pytest.approx(round(7 / 9, 6))
     assert (0, 5) not in pairs
