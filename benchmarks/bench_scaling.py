@@ -121,9 +121,17 @@ def run_job(cpus: int, files_path: Path, commits_path: Path) -> dict:
 
 
 def run_worker(cpus: int, files_path: Path, commits_path: Path) -> dict:
+    # Pin the WHOLE process tree (JVM included) to exactly `cpus` cores.
+    # Without this, local[N] still spreads GC/JIT/IO helper threads across
+    # every host core and under-reports the N -> 4N scaling ratio.
+    cmd = [sys.executable, __file__, "--worker", str(cpus),
+           str(files_path), str(commits_path)]
+    import shutil
+
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
     proc = subprocess.run(
-        [sys.executable, __file__, "--worker", str(cpus),
-         str(files_path), str(commits_path)],
+        cmd,
         capture_output=True, text=True, cwd=str(Path(__file__).parent.parent),
     )
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")]

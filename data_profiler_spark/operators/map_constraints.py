@@ -220,6 +220,21 @@ def c_not_match_regex_list(constraint: Constraint, df: DataFrame, ctx: dict) -> 
     return _std_map(constraint, df, reduce(lambda a, b: a & b, [~col.rlike(r) for r in kw["regex_list"]]))
 
 
+@register("expect_column_values_to_match_like_pattern")
+def c_like(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """SQL LIKE — the reference only has the SQLAlchemy variant
+    (column_values_match_like_pattern.py:21-59); Spark's Column.like fills
+    the gap."""
+    kw = constraint.kwargs
+    return _std_map(constraint, df, F.col(kw["column"]).like(kw["like_pattern"]))
+
+
+@register("expect_column_values_to_not_match_like_pattern")
+def c_not_like(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    kw = constraint.kwargs
+    return _std_map(constraint, df, ~F.col(kw["column"]).like(kw["like_pattern"]))
+
+
 @register("expect_column_value_lengths_to_be_between")
 def c_length_between(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
     """ref: column_value_lengths.py:174-207."""

@@ -397,6 +397,134 @@ def q_chi2_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_query(
+    "join_revenue_by_segment",
+    """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_lineitems,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,4))
+                * CAST(1 - l.l_discount AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3/Q5-style join + agg: lineitem joins orders (shuffle/SMJ —
+    both large), orders joins customer (broadcast — small dim). Decimal
+    arithmetic keeps the revenue sum order-independent and oracle-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = F.col("l_extendedprice").cast("decimal(20,4)") * (
+        F.lit(1).cast("decimal(20,4)") - F.col("l_discount").cast("decimal(20,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register_query(
+    "join_top_customers",
+    """
+SELECT c_custkey, c_name, n_orders, total_spend FROM (
+  SELECT c.c_custkey, c.c_name,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_spend,
+         row_number() OVER (ORDER BY CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,4))) AS DOUBLE) DESC, c.c_custkey) AS rnk
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey, c.c_name
+) WHERE rnk <= 20
+""",
+)
+def q_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-style top-k by aggregate: join + groupBy + global top-20 with a
+    deterministic tie-break (decimal-exact spend, then key)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    agg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double")
+            .alias("total_spend"),
+        )
+    )
+    return (
+        agg.orderBy(F.desc("total_spend"), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_orders", "total_spend")
+    )
+
+
+@register_query(
+    "join_nation_supplier_counts",
+    """
+SELECT r.r_name AS region, n.n_name AS nation, COUNT(s.s_suppkey) AS n_suppliers
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q_join_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake-dim chain with an outer join (keeps empty nations)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count(F.col("s_suppkey")).alias("n_suppliers"))
+    )
+
+
+@register_query(
+    "events_sessionization",
+    """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM gaps
+""",
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap threshold (common OLAP pattern; windows
+    partition by user — parallel, never a global sort)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    return ev.withColumn("new_session", new_session).agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ===========================================================================
 # 2. Text analysis (documents)
 # ===========================================================================

@@ -45,14 +45,64 @@ class Validator:
         self,
         df: DataFrame,
         tables: dict[str, DataFrame] | None = None,
+        evaluation_parameters: dict[str, Any] | None = None,
     ) -> None:
         ensure_registered()
         self.df = df
-        self.ctx: dict[str, Any] = {"tables": tables or {}}
+        self.ctx: dict[str, Any] = {
+            "tables": tables or {},
+            "evaluation_parameters": evaluation_parameters or {},
+        }
 
     # ------------------------------------------------------------------
     def compile(self, suite: ConstraintSuite) -> list[CompiledConstraint]:
-        return [compile_constraint(c, self.df, self.ctx) for c in suite.constraints]
+        out: list[CompiledConstraint] = []
+        for c in suite.constraints:
+            try:
+                resolved = self._resolve_parameters(c)
+                out.append(compile_constraint(resolved, self.df, self.ctx))
+            except Exception as exc:  # compile-time failure -> failed verdict
+                out.append(self._failed_compile(c, exc))
+        return out
+
+    @staticmethod
+    def _failed_compile(c: Constraint, exc: Exception) -> CompiledConstraint:
+        def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
+            return ConstraintResult(
+                constraint_id=c.id,
+                constraint_type=c.type,
+                kwargs=dict(c.kwargs),
+                success=False,
+                group=group,
+                exception_info=f"compile error: {type(exc).__name__}: {exc}",
+            )
+
+        return CompiledConstraint(constraint=c, agg_terms=[], verdict_fn=verdict)
+
+    def _resolve_parameters(self, c: Constraint) -> Constraint:
+        """Substitute {"$PARAMETER": name} kwarg values from
+        ``evaluation_parameters`` — the simplified form of the reference's
+        cross-suite parameter URNs (core/evaluation_parameters.py:30-227;
+        values typically come from prior verdict rows in the results store)."""
+        params = self.ctx.get("evaluation_parameters") or {}
+
+        def sub(v: Any) -> Any:
+            if isinstance(v, dict) and set(v) == {"$PARAMETER"}:
+                name = v["$PARAMETER"]
+                if name not in params:
+                    raise KeyError(f"unresolved evaluation parameter {name!r}")
+                return params[name]
+            if isinstance(v, dict):
+                return {k: sub(x) for k, x in v.items()}
+            if isinstance(v, list):
+                return [sub(x) for x in v]
+            return v
+
+        if not any(
+            isinstance(v, (dict, list)) for v in c.kwargs.values()
+        ):
+            return c
+        return Constraint(type=c.type, kwargs=sub(dict(c.kwargs)))
 
     def validate(
         self,
