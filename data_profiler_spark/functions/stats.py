@@ -62,6 +62,8 @@ def gammainc_upper(a: float, x: float) -> float:
     """Regularized upper incomplete gamma Q(a, x)."""
     if x < 0 or a <= 0:
         return float("nan")
+    if math.isinf(x):  # infinite statistic: tail mass is exactly 0 (scipy)
+        return 0.0
     if x == 0:
         return 1.0
     if x < a + 1.0:

@@ -195,25 +195,64 @@ def c_unique_proportion(constraint: Constraint, df: DataFrame, ctx: dict) -> Com
 
 @register("expect_column_most_common_value_to_be_in_set")
 def c_most_common(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: column_most_common_value.py:33-45 — the observed value is the
+    FULL argmax set (all tied modes), not an arbitrary single mode (F.mode
+    picks one — a constraint would flap on tied data). ``ties_okay=True``
+    passes if ANY tied mode is in the set; default requires ALL (GE
+    semantics). Computed in one bounded post-pass job: value counts ->
+    max-count filter via window."""
     kw = constraint.kwargs
-    a = metric_alias("column.mode", column=kw["column"])
+    colname = kw["column"]
     vs = set(kw["value_set"])
+    ties_okay = bool(kw.get("ties_okay", False))
+    mode_a = metric_alias("column.mode_set", column=colname)
+
+    def post_pass(frame: DataFrame, group_by: list[str], groups):
+        from pyspark.sql import Window
+
+        counted = (
+            frame.where(F.col(colname).isNotNull())
+            .groupBy(*(group_by + [colname]))
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        if group_by:
+            w = Window.partitionBy(*group_by)
+        else:
+            w = Window.partitionBy(F.lit(1))
+        top = counted.withColumn("__max", F.max("__cnt").over(w)).where(
+            F.col("__cnt") == F.col("__max")
+        )
+        rows = top.collect()
+        out: dict = {}
+        for r in rows:
+            key = tuple(r[k] for k in group_by) if group_by else ()
+            out.setdefault(key, {mode_a: []})[mode_a].append(r[colname])
+        for key, m in out.items():
+            m[mode_a] = sorted(m[mode_a], key=str)
+        return out
 
     def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
-        v = metrics.get(a)
+        modes = metrics.get(mode_a) or []
+        if not modes:
+            success = True  # vacuous on empty domain
+        elif ties_okay:
+            success = any(v in vs for v in modes)
+        else:
+            success = all(v in vs for v in modes)
         return ConstraintResult(
             constraint_id=constraint.id,
             constraint_type=constraint.type,
             kwargs=dict(kw),
-            success=v in vs,
+            success=bool(success),
             group=group,
-            observed_value=v,
+            observed_value=modes,
         )
 
     return CompiledConstraint(
         constraint=constraint,
-        agg_terms=[AggTerm(a, F.mode(F.col(kw["column"])))],
+        agg_terms=[],
         verdict_fn=verdict,
+        post_pass_fn=post_pass,
     )
 
 

@@ -160,26 +160,34 @@ def simhash(col: Column, bits: int = 32) -> Column:
     sum over tokens of (+1 if bit i of hash(token) else -1).
 
     Token hash = first 8 md5 hex chars -> 32-bit int (engine-portable).
-    The whole computation is a single native expression (per-bit aggregate
-    folds over the token-hash array) — per doc, no shuffle at all."""
+
+    Physical shape: ONE ``aggregate`` fold carrying an array of ``bits``
+    balance counters. The token-hash ``transform`` is the fold's input array,
+    evaluated exactly once per row. (The round-1 version issued ``bits``
+    independent folds over an unnamed hash expression; Catalyst does not CSE
+    across aggregate-fold arguments, so md5+conv ran ~``bits``x per doc.)
+    Bit tests are ``h & 2^i`` (bitwiseAND against a literal weight array) —
+    no per-bit shifts."""
     hashes = F.transform(
         tokens(col),
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
     )
-    def balance_fold(i: int):
-        # two-arg lambda (pyspark inspects the signature); i bound by closure
-        def fold(acc, h):
-            return acc + F.when(F.shiftright(h, i).bitwiseAND(1) == 1, 1).otherwise(-1)
-
-        return fold
-
-    out = F.lit(0).cast("long")
-    for i in range(bits):  # i is a Python int: shiftright(col, int) is legal
-        bit_balance = F.aggregate(hashes, F.lit(0), balance_fold(i))
-        out = out + F.when(bit_balance > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    balances = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            weights,
+            lambda a, w: a + F.when(h.bitwiseAND(w) != 0, 1).otherwise(-1),
+        ),
+    )
+    bit_values = F.zip_with(
+        balances,
+        weights,
+        lambda b, w: F.when(b > 0, w).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bit_values, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def near_dup_pairs_simhash(
@@ -246,31 +254,64 @@ def jaccard_pairs(
     text_col: str,
     shingle_n: int = 1,
     threshold: float = 0.5,
-    max_df: int = 10000,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard >= threshold, via inverted-index
-    self-join. ``max_df`` prunes shingles present in more than that many
-    docs (frequency filter — they contribute candidates but almost no
-    discrimination, and their posting lists explode the join)."""
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    """All pairs with shingle-set Jaccard >= threshold: prefix-filtered
+    set-similarity join (SSJoin/PPJoin prefix scheme).
+
+    Plan:
+      1. shingle arrays per doc (distinct); true set size = array size —
+         computed on the FULL set, so reported jaccard is always exact
+         (the round-1 version sized the pruned sets: not Jaccard once
+         pruning bit).
+      2. candidate generation joins only each doc's PREFIX of the inverted
+         index: shingles ranked by (global document frequency asc, value),
+         prefix length |x| - ceil(t*|x|) + 1 — any pair with J >= t is
+         guaranteed to collide on >= 1 prefix shingle (standard prefix-filter
+         theorem), so recall is exactly 1 while the index join touches only
+         the rarest slice of each posting list.
+      3. exact intersection per candidate pair via native array_intersect on
+         the full shingle arrays; jaccard = inter / (sz_a + sz_b - inter).
+
+    ``max_df`` (optional) additionally drops shingles in more than that many
+    docs from the candidate INDEX only — values stay exact; pairs sharing
+    ONLY ultra-common shingles may be missed (documented estimator trade)."""
+    sh_arr = df.select(
+        F.col(id_col),
+        F.sort_array(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    sh = sh_arr.select(id_col, "sz", F.explode("sh").alias("s"))
+
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("gdf"))
+    if max_df is not None:
+        df_counts = df_counts.where(F.col("gdf") <= max_df)
+    indexed = sh.join(df_counts, on="s")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("gdf", "s")
+    prefix = indexed.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     )
-    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    pruned = sh.join(df_counts.where(F.col("df") <= max_df), on="s", how="left_semi")
-    sizes = pruned.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = pruned.select(F.col(id_col).alias("id_a"), "s")
-    b = pruned.select(F.col(id_col).alias("id_b"), "s")
-    inter = (
-        a.join(b, on="s")
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "s")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "s"), on="s")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+
+    a = sh_arr.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")
+    )
+    b = sh_arr.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", inter)
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),

@@ -400,6 +400,8 @@ def c_zscore(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstr
             tuple(k) + (float(m.get(mean_a) or 0.0), float(m.get(std_a) or 0.0))
             for k, m in groups
         ]
+        if not rows:  # empty grouped input: vacuously-true verdicts, no job
+            return {}
         scalars = spark.createDataFrame(rows, group_by + ["__mean", "__std"])
         joined = frame.join(F.broadcast(scalars), on=group_by, how="inner")
         agg = (

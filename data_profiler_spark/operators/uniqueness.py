@@ -50,8 +50,18 @@ def duplicate_key_counts(df: DataFrame, key_cols: list[str]) -> DataFrame:
 
 
 def _compile_unique(constraint: Constraint, df: DataFrame, key_cols: list[str]) -> CompiledConstraint:
+    """``scope`` kwarg pins what "duplicate" means under grouped validation:
+
+    - ``"group"`` (default): a key is duplicated iff it repeats WITHIN the
+      verdict group. Verdicts are a pure function of each group's rows —
+      independent of chunk boundaries and resume history (the CheckpointRunner
+      validates pending partitions in arbitrary chunks).
+    - ``"table"``: duplicated anywhere in the validated frame. Only meaningful
+      when the frame is the whole table in one pass.
+    """
     kw = constraint.kwargs
     mostly = float(kw.get("mostly", 1.0))
+    scope = str(kw.get("scope", "group"))
     elem_a = metric_alias("element_count", rc=None)
     miss_a = metric_alias("missing_count", domain=",".join(key_cols), rc=None)
     unex_a = metric_alias("unexpected_count", constraint_id=constraint.id)
@@ -66,17 +76,31 @@ def _compile_unique(constraint: Constraint, df: DataFrame, key_cols: list[str]) 
     ]
 
     def post_pass(frame: DataFrame, group_by: list[str], groups):
-        dups = duplicate_key_counts(frame.where(key_nonnull), key_cols)
         if not group_by:
+            dups = duplicate_key_counts(frame.where(key_nonnull), key_cols)
             row = dups.agg(F.coalesce(F.sum("key_count"), F.lit(0)).alias("n")).first()
             return {(): {unex_a: int(row["n"])}}
-        # attribute duplicated rows to their verdict groups: join the dup
-        # keys back (broadcast — the dup set is small by construction of a
-        # near-passing run) and count per group.
-        joined = frame.where(key_nonnull).join(
-            F.broadcast(dups.select(*key_cols)), on=key_cols, how="left_semi"
-        )
-        rows = joined.groupBy(*group_by).agg(F.count(F.lit(1)).alias("n")).collect()
+        if scope == "group":
+            # per-group duplicates: include the group keys in the dedup key,
+            # then sum duplicated-row counts per group — ONE salted pass,
+            # verdicts independent of chunking/resume history.
+            dups = duplicate_key_counts(
+                frame.where(key_nonnull), group_by + key_cols
+            )
+            rows = (
+                dups.groupBy(*group_by)
+                .agg(F.sum("key_count").alias("n"))
+                .collect()
+            )
+        else:
+            # table scope: a key duplicated anywhere in the frame marks all
+            # its rows; attribute rows to groups via broadcast semi-join
+            # (the dup-key set is small in any near-passing run).
+            dups = duplicate_key_counts(frame.where(key_nonnull), key_cols)
+            joined = frame.where(key_nonnull).join(
+                F.broadcast(dups.select(*key_cols)), on=key_cols, how="left_semi"
+            )
+            rows = joined.groupBy(*group_by).agg(F.count(F.lit(1)).alias("n")).collect()
         out = {tuple(r[k] for k in group_by): {unex_a: int(r["n"])} for r in rows}
         for g, _m in groups:
             out.setdefault(g, {unex_a: 0})

@@ -102,10 +102,14 @@ def run_fused_pass(
 
     Returns [(group_key_tuple, {alias: value})]. With no group_by this is a
     global agg returning a single row (empty-input safe: Spark global agg
-    always yields one row)."""
-    if not terms:
-        return [((), {})] if not group_by else []
-    cols = [t.column.alias(t.alias) for t in terms]
+    always yields one row). With group_by but NO terms the group keys are
+    still derived (via a row-count term) so zero-term constraints — schema
+    checks, compile failures — emit one verdict per group instead of none."""
+    if not terms and not group_by:
+        return [((), {})]
+    cols = [t.column.alias(t.alias) for t in terms] or [
+        F.count(F.lit(1)).alias("__group_row_count")
+    ]
     if group_by:
         rows = df.groupBy(*[F.col(k) for k in group_by]).agg(*cols).collect()
     else:

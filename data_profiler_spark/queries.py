@@ -513,11 +513,11 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
-    new_session = F.when(
-        prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > 1800),
-        1,
-    ).otherwise(0)
+    # ts is TIMESTAMP_NTZ in the parquet: not castable to BIGINT directly —
+    # go through `timestamp` first (same as streaming/profile_stream.py)
+    ep = F.col("ts").cast("timestamp").cast("long")
+    prev_ep = prev.cast("timestamp").cast("long")
+    new_session = F.when(prev.isNull() | (ep - prev_ep > 1800), 1).otherwise(0)
     return ev.withColumn("new_session", new_session).agg(
         F.sum("new_session").alias("n_sessions"),
         F.count_distinct("user_id").alias("n_users"),
@@ -591,10 +591,34 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", normalized_fingerprint(F.col("text")).alias("fp"))
 
 
-@register_query(
-    "langid_confusion",
-    None,  # heuristic CASE cascade is engine-side; rows-only check
+_LANGID_ORACLE = r"""
+WITH toks AS (
+  SELECT lang, text,
+         list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS ts
+  FROM documents
+), scored AS (
+  SELECT lang, text,
+    len(list_intersect(ts, ['the','and','of','to','in','is','that','for','with','on'])) AS s_en,
+    len(list_intersect(ts, ['der','die','das','und','ist','von','mit','auf','ein','zu'])) AS s_de,
+    len(list_intersect(ts, ['el','la','de','que','y','en','un','por','con','para'])) AS s_es,
+    len(list_intersect(ts, ['le','la','de','et','les','des','un','une','du','pour'])) AS s_fr
+  FROM toks
+), pred AS (
+  SELECT lang AS label,
+    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         ELSE 'fr' END AS pred
+  FROM scored
 )
+SELECT label, pred, COUNT(*) AS n FROM pred GROUP BY label, pred
+"""
+
+
+@register_query("langid_confusion", _LANGID_ORACLE)
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.text import with_language_id
 
@@ -741,25 +765,76 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_bruteforce(e, q, "vec_id", "embedding", "query_id", k=5)
 
 
-@register_query(
-    "embedding_near_dups",
-    """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.8
-""",
+_NEAR_DUP_ORACLE = """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), scored AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS csim
+  FROM embeddings e, cents c
+), assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT vec_id, v, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
 )
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM assigned a JOIN assigned b
+  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+"""
+
+
+@register_query("embedding_near_dups", _NEAR_DUP_ORACLE)
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed near-dup pairs (no crossJoin in the plan — asserted in
+    tests); deterministic bucketing makes the approximate semantics exactly
+    reproducible in the SQL oracle."""
     from data_profiler_spark.operators.similarity import embedding_near_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.8)
+    return embedding_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.3, n_centroids=8
+    )
 
 
-@register_query("embedding_topk_ivf", None)  # approximate; rows-only check
+_TOPK_IVF_ORACLE = """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+             c.centroid_id) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+             c.centroid_id) AS rn
+    FROM embeddings q, cents c WHERE q.vec_id < 5
+  ) WHERE rn <= 3
+), ranked AS (
+  SELECT p.query_id, a.vec_id,
+         ROUND(list_cosine_similarity(a.v, p.qv), 6) AS sim,
+         row_number() OVER (PARTITION BY p.query_id ORDER BY
+           ROUND(list_cosine_similarity(a.v, p.qv), 6) DESC, a.vec_id) AS rank
+  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register_query("embedding_topk_ivf", _TOPK_IVF_ORACLE)
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.similarity import ann_topk_ivf
 
@@ -806,7 +881,13 @@ def q_north_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(ln).alias("min_len"),
         F.max(ln).alias("max_len"),
         F.round(F.avg(ln), 4).alias("avg_len"),
-        F.percentile_approx(ln, F.array(F.lit(0.5), F.lit(0.95)), F.lit(1000)).alias("len_q"),
+        # scalar quantiles (the driver's canonicalizer can't hash arrays)
+        F.element_at(
+            F.percentile_approx(ln, F.array(F.lit(0.5), F.lit(0.95)), F.lit(1000)), 1
+        ).alias("len_p50"),
+        F.element_at(
+            F.percentile_approx(ln, F.array(F.lit(0.5), F.lit(0.95)), F.lit(1000)), 2
+        ).alias("len_p95"),
     )
 
 

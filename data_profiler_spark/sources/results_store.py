@@ -39,6 +39,7 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("element_count", T.LongType()),
         T.StructField("unexpected_count", T.LongType()),
         T.StructField("observed_json", T.StringType()),
+        T.StructField("exception_info", T.StringType()),
         T.StructField("group_json", T.StringType()),
         T.StructField("violations_json", T.StringType()),
         T.StructField("started_at_ms", T.LongType()),

@@ -73,7 +73,28 @@ def test_most_common(typed_small):
         "expect_column_most_common_value_to_be_in_set",
         column="cat", value_set=["a"],
     )
-    assert r.success is True and r.observed_value == "a"
+    # reference semantics: observed value is the FULL argmax set
+    # (column_most_common_value.py:33-45), not one arbitrary mode
+    assert r.success is True and r.observed_value == ["a"]
+
+
+def test_most_common_ties(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("c",)], ["cat"]
+    )
+    v = Validator(df)
+    # tied modes {a, b}: default requires ALL in set
+    r = v.expect(
+        "expect_column_most_common_value_to_be_in_set",
+        column="cat", value_set=["a"],
+    )
+    assert r.success is False and r.observed_value == ["a", "b"]
+    # ties_okay: ANY tied mode in set passes
+    r2 = v.expect(
+        "expect_column_most_common_value_to_be_in_set",
+        column="cat", value_set=["a"], ties_okay=True,
+    )
+    assert r2.success is True
 
 
 def test_distinct_sets(typed_small):

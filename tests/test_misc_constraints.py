@@ -44,3 +44,79 @@ def test_unresolved_parameter_is_failure(typed_small):
     )
     res = Validator(typed_small).validate(suite)
     assert res.results[0].success is False
+
+
+def test_zero_term_constraint_grouped_emits_per_group_verdicts(typed_small):
+    """ADVICE r1 (high): constraints with no agg terms (schema checks,
+    compile failures) must yield one verdict PER GROUP under grouped
+    validation — not zero results / vacuous success."""
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.validator import Validator
+
+    suite = ConstraintSuite("schema_only").add(
+        "expect_table_columns_to_match_ordered_list",
+        column_list=["definitely", "wrong", "columns"],
+    )
+    res = Validator(typed_small).validate(suite, group_by=["cat"])
+    assert len(res.results) == 3  # cat in {a, b, c}
+    assert all(r.success is False for r in res.results)
+    assert res.success is False
+
+    # a misspelled constraint type lowers to a failed-compile verdict per group
+    bad = ConstraintSuite("typo").add("expect_column_values_to_be_nul", column="ints")
+    res2 = Validator(typed_small).validate(bad, group_by=["cat"])
+    assert len(res2.results) == 3
+    assert all(not r.success and r.exception_info for r in res2.results)
+
+
+def test_zscore_grouped_empty_input_is_vacuous(spark):
+    """ADVICE r1 (medium): empty grouped input must not crash createDataFrame."""
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.validator import Validator
+
+    df = spark.createDataFrame([], "cat string, x double").where("1=0")
+    suite = ConstraintSuite("z").add(
+        "expect_column_value_z_scores_to_be_less_than", column="x", threshold=2.0
+    )
+    res = Validator(df).validate(suite, group_by=["cat"])
+    assert res.success is True  # no groups -> no verdicts -> vacuous
+    assert res.results == []
+
+
+def test_uniqueness_scope_chunk_independent(spark):
+    """ADVICE r1 (medium): with scope='group' (default), a group's verdict is
+    a pure function of its own rows — identical whether validated alone or
+    together with other groups."""
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.validator import Validator
+
+    rows = [
+        ("p0", "k1"), ("p0", "k1"),     # dup within p0
+        ("p1", "k2"), ("p2", "k2"),     # cross-group repeat: NOT a group dup
+        ("p1", "k3"),
+    ]
+    df = spark.createDataFrame(rows, ["pid", "key"])
+    suite = ConstraintSuite("u").add(
+        "expect_column_values_to_be_unique", column="key"
+    )
+    full = {
+        r.group["pid"]: (r.success, r.unexpected_count)
+        for r in Validator(df).validate(suite, group_by=["pid"]).results
+    }
+    assert full["p0"] == (False, 2)
+    assert full["p1"] == (True, 0)   # k2 repeats only across groups
+    assert full["p2"] == (True, 0)
+    # validating a single group in isolation gives the same verdict
+    solo = Validator(df.where("pid = 'p1'")).validate(suite, group_by=["pid"])
+    assert {
+        r.group["pid"]: (r.success, r.unexpected_count) for r in solo.results
+    } == {"p1": full["p1"]}
+    # table scope restores the old global semantics
+    suite_t = ConstraintSuite("ut").add(
+        "expect_column_values_to_be_unique", column="key", scope="table"
+    )
+    tbl = {
+        r.group["pid"]: r.unexpected_count
+        for r in Validator(df).validate(suite_t, group_by=["pid"]).results
+    }
+    assert tbl == {"p0": 2, "p1": 1, "p2": 1}

@@ -142,3 +142,30 @@ def test_splitters_samplers(spark):
     assert 0 < s.count() < 1000
     # deterministic
     assert s.count() == S.sample_using_hash(df, "id", buckets=5, value=2).count()
+
+
+def test_embedding_near_dups_no_cross_join(spark):
+    """VERDICT r1 #3: the near-dup plan must be bucket-joined, never an
+    all-pairs cartesian."""
+    import numpy as np
+
+    from data_profiler_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    # plant a genuine near-dup pair
+    rows.append((100, [x * 1.01 for x in rows[0][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_dup_pairs(df, "vec_id", "embedding", threshold=0.95,
+                                   n_centroids=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no all-pairs cartesian; the only nested-loop joins allowed are the
+    # broadcast of the C-row centroid table (N x C scoring, by design)
+    assert "CartesianProduct" not in plan
+    assert any(
+        j in line and "centroid_id" in line
+        for line in plan.splitlines()
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 100) in pairs

@@ -84,3 +84,13 @@ def test_gammainc_vs_math_erfc():
         assert stats.gammainc_upper(0.5, x) == pytest.approx(
             math.erfc(math.sqrt(x)), rel=1e-10
         )
+
+
+def test_chisquare_inf_stat_p_zero():
+    """ADVICE r1 (low): observed>0 where expected==0 -> stat=inf, p must be
+    0.0 (scipy), not NaN."""
+    from data_profiler_spark.functions.stats import chisquare
+
+    stat, p = chisquare([10, 5, 3], [9, 9, 0])
+    assert stat == float("inf")
+    assert p == 0.0

@@ -122,3 +122,72 @@ def test_jaccard_pairs(docs):
     # docs 0/2: 8 distinct tokens each, 7 shared (jumps vs leaps) -> 7/9
     assert pairs[(0, 2)] == pytest.approx(round(7 / 9, 6))
     assert (0, 5) not in pairs
+
+
+def test_jaccard_max_df_values_stay_exact(docs):
+    """When max_df actively prunes the candidate index, the REPORTED jaccard
+    of surviving pairs must still be true (full-set) jaccard — VERDICT r1 #6:
+    the round-1 version computed sizes post-prune, silently reporting the
+    jaccard of the pruned sets."""
+    from data_profiler_spark.operators.dedup import jaccard_pairs
+
+    base = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            docs.where("doc_id < 6"), "doc_id", "text", shingle_n=1, threshold=0.5
+        ).collect()
+    }
+    # "the" appears in docs 0,1,2 (df=3): max_df=2 prunes it from the index.
+    pruned = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            docs.where("doc_id < 6"), "doc_id", "text", shingle_n=1,
+            threshold=0.5, max_df=2,
+        ).collect()
+    }
+    # pairs found under pruning carry IDENTICAL (exact) jaccard values
+    for pair, j in pruned.items():
+        assert j == base[pair], pair
+    # 0/1 share 'jumps' (df=2, survives) -> found, with TRUE jaccard 1.0 even
+    # though 7 of their 8 shared tokens were pruned from the index
+    assert pruned[(0, 1)] == 1.0
+    # 0/2's shared tokens all have df=3 (doc 1 duplicates doc 0) -> candidate
+    # legitimately missed under max_df=2: recall trade, never value distortion
+    assert (0, 2) not in pruned and (0, 2) in base
+
+
+def test_jaccard_prefix_filter_complete(spark):
+    """Prefix filtering must have recall 1 vs brute force (no max_df)."""
+    import itertools
+
+    from data_profiler_spark.operators.dedup import jaccard_pairs
+
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(i, i + 12)))
+        for i in range(0, 20)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, "doc_id", "text", 1, threshold=0.3).collect()
+    }
+    # brute force in python
+    sets = {i: set(t.split()) for i, t in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= 0.3:
+            want[(a, b)] = round(j, 6)
+    assert got == want
+
+
+def test_simhash_empty_and_determinism(docs):
+    from data_profiler_spark.operators.dedup import simhash
+    from pyspark.sql import functions as F
+
+    out = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash(F.col("text"), 32).alias("s")).collect()
+    }
+    assert out[6] == 0  # empty text -> empty fold -> 0
+    assert out[0] == out[1] != 0
