@@ -32,6 +32,7 @@ HEADLINE = [
     "increasing_violations",
     "zscore_outliers",
     "chi2_lang_stat",
+    "unexpected_value_counts",
     "text_token_stats",
     "text_quality",
     "dedup_exact_groups",
@@ -39,6 +40,7 @@ HEADLINE = [
     "simhash_docs",
     "embedding_topk",
     "embedding_topk_ivf",
+    "embedding_near_dups",
     "langid_confusion",
     "north_profile_by_lang",
     "north_verdicts",

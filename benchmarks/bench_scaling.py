@@ -69,16 +69,20 @@ def run_job(cpus: int, files_path: Path, commits_path: Path) -> dict:
     files = spark.read.parquet(str(files_path))
     commits = spark.read.parquet(str(commits_path))
     files = add_partition_column(files, n_buckets=64, cols=["repo", "path"])
-    n_files = files.count()
-    phases["scan_count"] = time.time() - t0
-
-    t0 = time.time()
+    # NOT persisted: building the in-memory columnar cache of megabyte text
+    # costs more than the ~5 parquet re-scans it saves (measured 53s build
+    # vs ~2.5s/scan at local[4]); snappy parquet decode is cheap and
+    # parallelizes perfectly, which is also the 100-TB answer.
+    # No standalone count job either: row_count comes out of the profile's
+    # fused pass (a separate scan is a fixed serial cost that caps scaling).
     profs = profile(
         files,
         columns=["repo", "path", "commit", "lang", "content"],
         categorical_columns=["lang"],
         hist_bins=10,
+        quantile_accuracy=1000,
     )
+    n_files = profs[0].columns["repo"].row_count
     phases["fused_profile"] = time.time() - t0
 
     baseline = profs[0].columns["lang"].as_baseline()
@@ -103,7 +107,11 @@ def run_job(cpus: int, files_path: Path, commits_path: Path) -> dict:
     t0 = time.time()
     samples = v.violation_samples(suite, limit=20, only_failed_of=result,
                                   key_columns=["partition_id", "repo", "path", "commit"])
-    n_samples = sum(s.count() for s in samples.values())
+    # concurrent materialization: each sample is an independent bounded job
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(1, min(8, len(samples) or 1))) as ex:
+        n_samples = sum(ex.map(lambda s: s.count(), samples.values()))
     phases["violations"] = time.time() - t0
 
     total = sum(phases.values())
@@ -118,6 +126,26 @@ def run_job(cpus: int, files_path: Path, commits_path: Path) -> dict:
     }
     spark.stop()
     return out
+
+
+def cpu_calibration() -> float:
+    """Seconds for a fixed single-core workload (sha256 over 256 MiB).
+
+    Run immediately before each measured job: on unthrottled hardware this
+    is a stable constant (~0.2-0.3s); under the host's burst-credit
+    throttling it inflates by the same factor as the job. Reported per run
+    so the MIN-over-reps selection (and any reader of BENCH.md) can tell a
+    clean measurement from a throttled one."""
+    import hashlib
+    import time as _t
+
+    blob = b"\x5a" * (1 << 20)
+    t0 = _t.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(256):
+        h.update(blob)
+    h.hexdigest()
+    return round(_t.perf_counter() - t0, 4)
 
 
 def run_worker(cpus: int, files_path: Path, commits_path: Path) -> dict:
@@ -163,7 +191,10 @@ def measure_interleaved(
     for _ in range(reps):
         for c in levels:
             time.sleep(recover_sec)
-            runs[c].append(run_worker(c, files_path, commits_path))
+            calib = cpu_calibration()
+            out = run_worker(c, files_path, commits_path)
+            out["calibration_sec"] = calib
+            runs[c].append(out)
     return runs
 
 
@@ -241,6 +272,17 @@ def main() -> None:
             f"{eff:.3f}** (target >= 0.8)",
             f"- phases (local[{n4_lvl}], best run): "
             f"{json.dumps(best4['phases'])}",
+            f"- per-run (total_sec @ calibration_sec; calibration = fixed "
+            f"single-core sha256 probe run just before each measurement — "
+            f"~0.25s unthrottled, inflates with host throttling): "
+            + "; ".join(
+                f"local[{c}]: "
+                + ", ".join(
+                    f"{r['total_sec']}s @ {r.get('calibration_sec', '?')}s"
+                    for r in all_runs[c]
+                )
+                for c in levels
+            ),
         ]
         Path(out_md).write_text("\n".join(lines) + "\n")
 

@@ -30,6 +30,8 @@ class ConstraintResult:
     observed_value: Any = None
     details: dict[str, Any] = field(default_factory=dict)
     partial_unexpected_list: list[Any] | None = None
+    partial_unexpected_counts: list[dict[str, Any]] | None = None
+    unexpected_list: list[Any] | None = None
     exception_info: str | None = None
 
     def to_row(self) -> dict[str, Any]:
@@ -49,6 +51,8 @@ class ConstraintResult:
                     "unexpected_percent": self.unexpected_percent,
                     "unexpected_percent_total": self.unexpected_percent_total,
                     "missing_count": self.missing_count,
+                    "partial_unexpected_list": self.partial_unexpected_list,
+                    "partial_unexpected_counts": self.partial_unexpected_counts,
                     "details": self.details,
                 },
                 sort_keys=True,

@@ -126,28 +126,29 @@ def near_dup_pairs_minhash(
 
     ``max_bucket`` caps degenerate buckets (e.g. empty/boilerplate content):
     a bucket with B docs would emit B^2/2 pairs — the classic LSH skew
-    blow-up — so oversized buckets are dropped (logged upstream)."""
+    blow-up — so oversized buckets are dropped.
+
+    Physical shape: bucket SELF-JOIN on (band, bucket) after a semi-join
+    against the size-qualified bucket set. (The round-1 version expanded
+    pairs inside one row via collect_list + nested transform — up to
+    max_bucket^2 structs allocated in a single row buffer; the join streams
+    pairs instead and parallelizes across buckets.)"""
     bb = minhash_band_buckets(df, id_col, text_col, n_hashes, band_size, shingle_n)
-    sized = bb.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("bsize"), F.collect_list(id_col).alias("ids")
+    ok_buckets = (
+        bb.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsize"))
+        .where(F.col("bsize").between(2, max_bucket))
+        .select("band", "bucket")
     )
-    ok = sized.where(F.col("bsize").between(2, max_bucket))
-    pairs = ok.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda a: F.transform(
-                            F.col("ids"), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
-                        ),
-                    )
-                ),
-                lambda p: p["id_a"] < p["id_b"],
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
-    return pairs.distinct()
+    member = bb.join(ok_buckets, on=["band", "bucket"], how="left_semi")
+    a = member.select("band", "bucket", F.col(id_col).alias("id_a"))
+    b = member.select("band", "bucket", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -115,6 +115,7 @@ def compile_map_constraint(
         agg_terms=terms,
         verdict_fn=verdict,
         violations_fn=violations,
+        value_column=kw.get("column"),
     )
 
 

@@ -31,6 +31,41 @@ from data_profiler_spark.plans.fused import AggTerm, metric_alias, run_fused_pas
 DEFAULT_QUANTILES = [0.05, 0.25, 0.5, 0.75, 0.95]
 
 
+def auto_bin_count(
+    n: int,
+    lo: float,
+    hi: float,
+    iqr: float | None,
+    method: str = "auto",
+    max_bins: int = 1000,
+) -> int:
+    """Histogram bin count from summary stats — numpy's estimators computed
+    from the fused pass's aggregates instead of raw data (ref
+    column_partition.py:24-154 uses np.histogram_bin_edges "auto").
+
+    - "sturges": log2(n) + 1 bins.
+    - "fd" (Freedman-Diaconis): width = 2*IQR/n^(1/3).
+    - "auto": max(sturges, fd) bin count — numpy's rule (the smaller width
+      wins); falls back to sturges when IQR == 0.
+    Capped at ``max_bins`` (numpy caps nothing; at 100 TB a runaway bin
+    count would bloat every fused histogram job)."""
+    import math
+
+    if n <= 0 or hi <= lo:
+        return 1
+    rng = hi - lo
+    sturges = math.ceil(math.log2(n)) + 1
+    if method == "sturges":
+        return max(1, min(sturges, max_bins))
+    fd = 0
+    if iqr is not None and iqr > 0:
+        width = 2.0 * iqr / (n ** (1.0 / 3.0))
+        fd = math.ceil(rng / width)
+    if method == "fd":
+        return max(1, min(fd or sturges, max_bins))
+    return max(1, min(max(sturges, fd), max_bins))
+
+
 @dataclass
 class ColumnProfile:
     column_name: str
@@ -105,15 +140,19 @@ def profile(
     quantiles: list[float] | None = None,
     top_k: int = 10,
     categorical_columns: list[str] | None = None,
-    hist_bins: int = 10,
+    hist_bins: int | str = 10,
     approx_distinct: bool = True,
     quantile_accuracy: int = 10000,
 ) -> list[TableProfile]:
     """Profile ``columns`` (default: all non-grouping columns).
 
-    ``categorical_columns`` get a top-k value histogram (one extra bounded
-    job each); numeric/string columns get an equi-width histogram on
-    length/value (fused pass 2). ``approx_distinct=False`` switches the HLL
+    ``categorical_columns`` get a top-k value histogram — ALL requested
+    columns in ONE fused explode job per value dtype (not one job per
+    column); numeric/string columns get an equi-width histogram on
+    length/value (fused pass 2). ``hist_bins`` is a bin count or an
+    estimator name ("auto" | "sturges" | "fd" — numpy's rules computed from
+    the pass-1 aggregates; grouped profiles pool nonnull counts and
+    nonnull-weighted IQRs). ``approx_distinct=False`` switches the HLL
     sketch to exact count_distinct (test-oracle mode)."""
     group_by = list(group_by or [])
     columns = list(columns or [c for c in df.columns if c not in group_by])
@@ -205,9 +244,11 @@ def profile(
     # ---- pass 2: fused equi-width histograms on pass-1 [min, max] ------
     hist_specs: dict[str, tuple[list[float], list[str]]] = {}
     hterms: list[AggTerm] = []
+    q25_i = qs.index(0.25) if 0.25 in qs else None
+    q75_i = qs.index(0.75) if 0.75 in qs else None
     for c in columns:
         num_d = _num(c)
-        if num_d is None or hist_bins <= 0:
+        if num_d is None or (isinstance(hist_bins, int) and hist_bins <= 0):
             continue
         lo = min(
             (tp.columns[c].min_v for tp in profiles.values() if tp.columns[c].min_v is not None),
@@ -221,18 +262,50 @@ def profile(
             continue
         if hi <= lo:
             hi = lo + 1.0
-        edges = [lo + (hi - lo) * i / hist_bins for i in range(hist_bins + 1)]
+        if isinstance(hist_bins, str):
+            # pooled across groups: total nonnull; nonnull-weighted mean IQR
+            # from the pass-1 quantile sketches (exact IQR for 1 group +
+            # exact percentiles; sketch-accurate otherwise)
+            tot_nn = sum(tp.columns[c].nonnull_count for tp in profiles.values())
+            iqr = None
+            if q25_i is not None and q75_i is not None:
+                pairs = [
+                    (tp.columns[c].quantiles, tp.columns[c].nonnull_count)
+                    for tp in profiles.values()
+                    if tp.columns[c].quantiles is not None
+                    and tp.columns[c].nonnull_count > 0
+                ]
+                wsum = sum(nn for _, nn in pairs)
+                if wsum > 0:
+                    iqr = (
+                        sum((qv[q75_i] - qv[q25_i]) * nn for qv, nn in pairs) / wsum
+                    )
+            n_bins = auto_bin_count(tot_nn, lo, hi, iqr, method=hist_bins)
+        else:
+            n_bins = hist_bins
+        edges = [lo + (hi - lo) * i / n_bins for i in range(n_bins + 1)]
         bin_aliases = []
-        for i in range(hist_bins):
+        for i in range(n_bins):
             blo, bhi = edges[i], edges[i + 1]
-            last = i == hist_bins - 1
+            last = i == n_bins - 1
             cond = (num_d >= blo) & ((num_d <= bhi) if last else (num_d < bhi))
             a = metric_alias("column.hist.bin", column=c, i=i, lo=blo, hi=bhi)
             bin_aliases.append(a)
             hterms.append(AggTerm(a, F.sum(F.when(cond, 1).otherwise(0))))
         hist_specs[c] = (edges, bin_aliases)
 
-    if hterms:
+    # ---- pass 2 + categorical top-k: independent given pass-1 results,
+    # submitted CONCURRENTLY (Spark interleaves jobs across threads; run
+    # serially, each job's scheduling/final-merge dead time is pure Amdahl
+    # loss at high core counts) ---------------------------------------------
+    # top-k is ONE fused explode job per value dtype (round 1 ran one
+    # groupBy job per column); the dtype split keeps each value's native
+    # type for downstream drift-term compilation.
+    from pyspark.sql import Window
+
+    def run_hist_pass():
+        if not hterms:
+            return
         hgroups = dict(run_fused_pass(base, hterms, group_by))
         for key, tp in profiles.items():
             hm = hgroups.get(key, {})
@@ -244,39 +317,73 @@ def profile(
                     [w / total for w in weights] if total else weights
                 )
 
-    # ---- categorical top-k: one bounded job per requested column -------
+    by_dtype: dict[str, list[str]] = {}
     for c in categorical_columns:
-        keys = group_by + [c]
+        by_dtype.setdefault(df.schema[c].dataType.simpleString(), []).append(c)
+
+    def run_topk(cols_d: list[str]) -> list:
+        cv = F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("colname"), F.col(c).alias("value"))
+                    for c in cols_d
+                ]
+            )
+        ).alias("cv")
         counted = (
-            df.where(F.col(c).isNotNull())
-            .groupBy(*keys)
+            df.select(*[F.col(k) for k in group_by], cv)
+            .select(*group_by, "cv.colname", "cv.value")
+            .where(F.col("value").isNotNull())
+            .groupBy(*(group_by + ["colname", "value"]))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        from pyspark.sql import Window
+        w = Window.partitionBy(*(group_by + ["colname"])).orderBy(
+            F.desc("cnt"), F.col("value")
+        )
+        return (
+            counted.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= top_k)
+            .collect()
+        )
 
-        if group_by:
-            w = Window.partitionBy(*group_by).orderBy(F.desc("cnt"), F.col(c))
-            top = counted.withColumn("rn", F.row_number().over(w)).where(
-                F.col("rn") <= top_k
-            )
-        else:
-            top = counted.orderBy(F.desc("cnt"), F.col(c)).limit(top_k)
-        for r in top.collect():
-            key = tuple(r[k] for k in group_by) if group_by else ()
-            tp = profiles.get(key)
-            if tp is None:
-                continue
-            cp = tp.columns.setdefault(
-                c,
-                ColumnProfile(
-                    column_name=c,
-                    spark_type=df.schema[c].dataType.simpleString(),
-                    row_count=0, null_count=0, approx_distinct=0,
-                ),
-            )
-            if cp.top_k is None:
-                cp.top_k = []
-            cp.top_k.append({"value": r[c], "count": int(r["cnt"])})
+    from concurrent.futures import ThreadPoolExecutor
+
+    topk_rows: list = []
+    jobs = (1 if hterms else 0) + len(by_dtype)
+    if jobs > 1:
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            hist_fut = ex.submit(run_hist_pass) if hterms else None
+            topk_futs = [ex.submit(run_topk, cols_d) for cols_d in by_dtype.values()]
+            if hist_fut is not None:
+                hist_fut.result()
+            for f in topk_futs:
+                topk_rows.extend(f.result())
+    else:
+        run_hist_pass()
+        for cols_d in by_dtype.values():
+            topk_rows.extend(run_topk(cols_d))
+
+    for r in topk_rows:
+        key = tuple(r[k] for k in group_by) if group_by else ()
+        tp = profiles.get(key)
+        if tp is None:
+            continue
+        c = r["colname"]
+        cp = tp.columns.setdefault(
+            c,
+            ColumnProfile(
+                column_name=c,
+                spark_type=df.schema[c].dataType.simpleString(),
+                row_count=0, null_count=0, approx_distinct=0,
+            ),
+        )
+        if cp.top_k is None:
+            cp.top_k = []
+        cp.top_k.append({"value": r["value"], "count": int(r["cnt"])})
+    for tp in profiles.values():
+        for cp in tp.columns.values():
+            if cp.top_k is not None:
+                cp.top_k.sort(key=lambda t: (-t["count"], str(t["value"])))
 
     return list(profiles.values())
 

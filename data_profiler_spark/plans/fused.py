@@ -58,12 +58,16 @@ class CompiledConstraint:
     ``post_pass(df, groups)`` (optional) runs ONE extra fused job for
     two-phase metrics (e.g. z-score needs mean/stddev first); returns
     {group_key: {alias: value}} merged into the metric dicts.
+    ``value_column`` (column-domain map constraints) names the column whose
+    violating VALUES populate the result-format ladder
+    (partial_unexpected_list / counts / unexpected_list).
     """
 
     constraint: Constraint
     agg_terms: list[AggTerm] = field(default_factory=list)
     verdict_fn: Callable[[dict[str, Any], dict[str, Any]], ConstraintResult] | None = None
     violations_fn: Callable[[DataFrame], DataFrame] | None = None
+    value_column: str | None = None
     post_pass_fn: (
         Callable[[DataFrame, list[str], list[tuple[GroupKey, dict[str, Any]]]],
                  dict[GroupKey, dict[str, Any]]]

@@ -525,6 +525,35 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_query(
+    "unexpected_value_counts",
+    """
+SELECT o_orderpriority AS value, COUNT(*) AS n
+FROM orders
+WHERE o_orderpriority IS NOT NULL
+  AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+GROUP BY o_orderpriority
+""",
+)
+def q_unexpected_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The result-format ladder end-to-end: a failing in_set constraint run
+    at result_format=SUMMARY, exposing partial_unexpected_counts (reference
+    _spark_column_map_condition_value_counts + _format_map_output)."""
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.validator import Validator
+
+    o = _t(spark, sf_dir, "orders")
+    suite = ConstraintSuite("evr_summary").add(
+        "expect_column_values_to_be_in_set",
+        column="o_orderpriority",
+        value_set=["1-URGENT", "2-HIGH", "3-MEDIUM"],
+    )
+    res = Validator(o).validate(suite, result_format="SUMMARY")
+    r = res.results[0]
+    rows = [(d["value"], d["count"]) for d in (r.partial_unexpected_counts or [])]
+    return spark.createDataFrame(rows, "value string, n long")
+
+
 # ===========================================================================
 # 2. Text analysis (documents)
 # ===========================================================================

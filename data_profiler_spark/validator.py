@@ -109,11 +109,26 @@ class Validator:
         suite: ConstraintSuite,
         group_by: list[str] | None = None,
         persist: bool = False,
+        result_format: str = "BASIC",
+        partial_unexpected_count: int = 20,
+        complete_limit: int = 10000,
     ) -> SuiteResult:
         """``persist=True`` caches the input across the fused pass and the
         post-pass jobs (worth it when the input is expensive to recompute
         and >1 job will scan it — the reference's ``persist`` engine option,
-        sparkdf_execution_engine.py:151-156)."""
+        sparkdf_execution_engine.py:151-156).
+
+        ``result_format`` is the reference's ladder (expectation.py:1760-1871):
+          BOOLEAN_ONLY: success flags only (count fields stripped);
+          BASIC: counts/percents (no violating-value extraction — one step
+            leaner than the reference's BASIC, which samples values);
+          SUMMARY: + partial_unexpected_list / partial_unexpected_counts for
+            FAILED column map constraints (one bounded job per failed
+            constraint, run concurrently; deterministic by-frequency order
+            instead of the reference's input-order sample);
+          COMPLETE: + unexpected_list, capped at ``complete_limit`` (the
+            reference collects unbounded — its self-admitted perf hazard,
+            sparkdf_dataset.py:92-95)."""
         group_by = list(group_by or [])
         compiled = self.compile(suite)
         terms = dedup_terms(compiled)
@@ -124,27 +139,144 @@ class Validator:
         try:
             groups = run_fused_pass(self.df, terms, group_by)
 
-            # post passes: one extra bounded job per constraint that needs one
-            for c in compiled:
-                if c.post_pass_fn is not None:
-                    updates = c.post_pass_fn(self.df, group_by, groups)
-                    for key, metrics in groups:
-                        if key in updates:
-                            metrics.update(updates[key])
+            # post passes: one extra bounded job per constraint that needs
+            # one — submitted CONCURRENTLY (Spark's scheduler interleaves
+            # jobs from separate threads; serially, each small job leaves
+            # most cores idle and the dead time is pure Amdahl loss at high
+            # parallelism). Each constraint writes its own metric aliases,
+            # so merges are conflict-free.
+            post = [c for c in compiled if c.post_pass_fn is not None]
+            if len(post) == 1:
+                all_updates = [post[0].post_pass_fn(self.df, group_by, groups)]
+            elif post:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(8, len(post))) as ex:
+                    futs = [
+                        ex.submit(c.post_pass_fn, self.df, group_by, groups)
+                        for c in post
+                    ]
+                    all_updates = [f.result() for f in futs]
+            else:
+                all_updates = []
+            for updates in all_updates:
+                for key, metrics in groups:
+                    if key in updates:
+                        metrics.update(updates[key])
         finally:
             if do_persist:
                 self.df.unpersist()
 
         results: list[ConstraintResult] = []
+        by_cid: dict[str, list[ConstraintResult]] = {}
         for key, metrics in groups:
             group = dict(zip(group_by, key))
             for c in compiled:
-                results.append(c.verdict(metrics, group))
+                r = c.verdict(metrics, group)
+                results.append(r)
+                by_cid.setdefault(c.constraint.id, []).append(r)
+
+        if result_format == "BOOLEAN_ONLY":
+            for r in results:
+                r.element_count = None
+                r.unexpected_count = None
+                r.unexpected_percent = None
+                r.unexpected_percent_total = None
+                r.missing_count = None
+        elif result_format in ("SUMMARY", "COMPLETE"):
+            self._attach_unexpected_values(
+                compiled, by_cid, group_by, result_format,
+                partial_unexpected_count, complete_limit,
+            )
         return SuiteResult(
             suite_name=suite.name,
             suite_fingerprint=suite.fingerprint,
             results=results,
         )
+
+    def _attach_unexpected_values(
+        self,
+        compiled: list[CompiledConstraint],
+        by_cid: dict[str, list[ConstraintResult]],
+        group_by: list[str],
+        result_format: str,
+        partial_unexpected_count: int,
+        complete_limit: int,
+    ) -> None:
+        """Populate the SUMMARY/COMPLETE result-format fields from violating
+        values — ONE bounded value-counts job per FAILED column-map
+        constraint (reference: _spark_column_map_condition_value_counts,
+        map_metric_provider.py:2396-2434, and _format_map_output,
+        expectation.py:1760-1871), submitted concurrently."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark.sql import Window
+
+        work = []
+        for c in compiled:
+            if c.violations_fn is None or c.value_column is None:
+                continue
+            failed = [r for r in by_cid.get(c.constraint.id, []) if not r.success]
+            if failed:
+                work.append((c, failed))
+        if not work:
+            return
+
+        def counts_for(c: CompiledConstraint):
+            vdf = c.violations_fn(self.df).select(
+                *group_by, F.col(c.value_column).alias("__val")
+            )
+            counted = vdf.groupBy(*(group_by + ["__val"])).agg(
+                F.count(F.lit(1)).alias("__cnt")
+            )
+            if result_format == "COMPLETE":
+                # full value counts (distinct values capped, deterministic)
+                return (
+                    counted.orderBy(F.desc("__cnt"), F.col("__val"))
+                    .limit(complete_limit)
+                    .collect()
+                )
+            w = Window.partitionBy(
+                *(group_by or [F.lit(1)])
+            ).orderBy(F.desc("__cnt"), F.col("__val"))
+            return (
+                counted.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= partial_unexpected_count)
+                .collect()
+            )
+
+        with ThreadPoolExecutor(max_workers=min(8, len(work))) as ex:
+            all_rows = list(ex.map(lambda wk: counts_for(wk[0]), work))
+
+        for (c, failed), rows in zip(work, all_rows):
+            per_group: dict[tuple, list] = {}
+            for r in rows:
+                key = tuple(r[k] for k in group_by) if group_by else ()
+                per_group.setdefault(key, []).append(
+                    {"value": r["__val"], "count": int(r["__cnt"])}
+                )
+            for res in failed:
+                key = tuple(res.group[k] for k in group_by) if group_by else ()
+                vc = sorted(
+                    per_group.get(key, []),
+                    key=lambda d: (-d["count"], str(d["value"])),
+                )
+                res.partial_unexpected_counts = vc[:partial_unexpected_count]
+                partial: list = []
+                for d in vc:
+                    take = min(d["count"], partial_unexpected_count - len(partial))
+                    partial.extend([d["value"]] * take)
+                    if len(partial) >= partial_unexpected_count:
+                        break
+                res.partial_unexpected_list = partial
+                if result_format == "COMPLETE":
+                    full: list = []
+                    for d in vc:
+                        take = min(d["count"], complete_limit - len(full))
+                        full.extend([d["value"]] * take)
+                        if len(full) >= complete_limit:
+                            break
+                    res.unexpected_list = full
 
     # ------------------------------------------------------------------
     def violation_samples(
@@ -176,6 +308,13 @@ class Validator:
                 v = v.select(*key_columns)
             out[c.constraint.id] = deterministic_sample(v, limit)
         return out
+
+    # ------------------------------------------------------------------
+    def head(self, n: int = 5):
+        """First n rows as pandas (ref ``table.head``,
+        expectations/metrics/table_metrics/table_head.py:140-153 — a bounded
+        ``limit`` collect, never a full scan)."""
+        return self.df.limit(n).toPandas()
 
     # ------------------------------------------------------------------
     def expect(self, type: str, **kwargs: Any) -> ConstraintResult:

@@ -242,3 +242,55 @@ def test_violation_samples(typed_small):
     # determinism: re-extraction yields identical rows
     samples2 = v.violation_samples(suite, limit=5, only_failed_of=res)
     assert [tuple(r) for r in rows] == [tuple(r) for r in list(samples2.values())[0].collect()]
+
+
+def test_result_format_ladder(spark):
+    """VERDICT r1 #5: BOOLEAN_ONLY -> BASIC -> SUMMARY -> COMPLETE ladder
+    (ref _format_map_output, expectation.py:1760-1871)."""
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.validator import Validator
+
+    rows = [(v,) for v in ["a"] * 5 + ["b"] * 3 + ["zz"] * 4 + ["q"] * 2 + [None]]
+    df = spark.createDataFrame(rows, ["cat"])
+    suite = ConstraintSuite("rf").add(
+        "expect_column_values_to_be_in_set", column="cat", value_set=["a", "b"]
+    )
+
+    basic = Validator(df).validate(suite).results[0]
+    assert basic.success is False and basic.unexpected_count == 6
+    assert basic.partial_unexpected_list is None  # BASIC: counts only
+
+    boolean = Validator(df).validate(suite, result_format="BOOLEAN_ONLY").results[0]
+    assert boolean.success is False and boolean.element_count is None
+
+    summary = Validator(df).validate(suite, result_format="SUMMARY").results[0]
+    assert summary.partial_unexpected_counts == [
+        {"value": "zz", "count": 4},
+        {"value": "q", "count": 2},
+    ]
+    assert summary.partial_unexpected_list == ["zz"] * 4 + ["q"] * 2
+    assert summary.unexpected_list is None
+
+    complete = Validator(df).validate(suite, result_format="COMPLETE").results[0]
+    assert sorted(complete.unexpected_list) == ["q", "q", "zz", "zz", "zz", "zz"]
+
+    # partial list is capped
+    small = Validator(df).validate(
+        suite, result_format="SUMMARY", partial_unexpected_count=3
+    ).results[0]
+    assert small.partial_unexpected_list == ["zz", "zz", "zz"]
+
+
+def test_result_format_grouped(spark):
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.validator import Validator
+
+    rows = [("g1", "a"), ("g1", "bad1"), ("g1", "bad1"), ("g2", "a"), ("g2", "bad2")]
+    df = spark.createDataFrame(rows, ["g", "cat"])
+    suite = ConstraintSuite("rfg").add(
+        "expect_column_values_to_be_in_set", column="cat", value_set=["a"]
+    )
+    res = Validator(df).validate(suite, group_by=["g"], result_format="SUMMARY")
+    by_g = {r.group["g"]: r for r in res.results}
+    assert by_g["g1"].partial_unexpected_counts == [{"value": "bad1", "count": 2}]
+    assert by_g["g2"].partial_unexpected_counts == [{"value": "bad2", "count": 1}]

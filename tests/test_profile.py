@@ -86,3 +86,52 @@ def test_profiles_to_rows(typed_small):
     assert len(rows) == 1
     assert rows[0]["column_name"] == "ints"
     assert rows[0]["row_count"] == 30
+
+
+def test_auto_bin_count_matches_numpy():
+    """VERDICT r1 #7: Sturges/FD/auto estimators must agree with
+    numpy.histogram_bin_edges given the same summary stats."""
+    import numpy as np
+
+    from data_profiler_spark.operators.profile import auto_bin_count
+
+    rng = np.random.default_rng(42)
+    for data in [
+        rng.normal(50, 10, size=1000),
+        rng.exponential(3.0, size=257),
+        rng.uniform(0, 1, size=64),
+    ]:
+        lo, hi = float(data.min()), float(data.max())
+        q75, q25 = np.percentile(data, [75, 25])
+        iqr = float(q75 - q25)
+        n = len(data)
+        for method in ["auto", "sturges", "fd"]:
+            want = len(np.histogram_bin_edges(data, bins=method)) - 1
+            got = auto_bin_count(n, lo, hi, iqr, method=method)
+            assert got == want, (method, n, got, want)
+    # degenerate: IQR 0 -> auto falls back to sturges (numpy rule)
+    const = np.concatenate([np.zeros(95), np.ones(5) * 10])
+    want = len(np.histogram_bin_edges(const, bins="auto")) - 1
+    assert auto_bin_count(100, 0.0, 10.0, 0.0, "auto") == want
+
+
+def test_profile_auto_bins_and_fused_topk(spark):
+    import pyspark.sql.types as T
+
+    from data_profiler_spark.operators.profile import profile
+
+    rows = [(float(i % 100), ["x", "y", "z"][i % 3], ["a", "b"][i % 2]) for i in range(500)]
+    df = spark.createDataFrame(rows, "v double, c1 string, c2 string")
+    profs = profile(
+        df, columns=["v"], categorical_columns=["c1", "c2"], hist_bins="auto",
+        quantiles=[0.25, 0.5, 0.75],
+    )
+    cp = profs[0].columns["v"]
+    assert cp.hist_bins is not None and len(cp.hist_bins) >= 8  # auto >> 1
+    assert abs(sum(cp.hist_weights) - 1.0) < 1e-9
+    # both categorical columns got top-k from the single fused job
+    t1 = profs[0].columns["c1"].top_k
+    t2 = profs[0].columns["c2"].top_k
+    assert {t["value"] for t in t1} == {"x", "y", "z"}
+    assert {t["value"] for t in t2} == {"a", "b"}
+    assert t1[0]["count"] >= t1[-1]["count"]
