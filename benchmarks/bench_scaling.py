@@ -75,12 +75,17 @@ def run_job(cpus: int, files_path: Path, commits_path: Path) -> dict:
     # parallelizes perfectly, which is also the 100-TB answer.
     # No standalone count job either: row_count comes out of the profile's
     # fused pass (a separate scan is a fixed serial cost that caps scaling).
-    profs = profile(
+    # histograms are DEFERRED: only the scalar profile + top-k gate the
+    # constraint suite (the drift baseline), so the histogram pass runs
+    # concurrently with the constraint phase below (pipeline overlap —
+    # serial profile time is the biggest Amdahl term in this job)
+    profs, finish_hist = profile(
         files,
         columns=["repo", "path", "commit", "lang", "content"],
         categorical_columns=["lang"],
         hist_bins=10,
         quantile_accuracy=1000,
+        defer_histograms=True,
     )
     n_files = profs[0].columns["repo"].row_count
     phases["fused_profile"] = time.time() - t0
@@ -100,9 +105,14 @@ def run_job(cpus: int, files_path: Path, commits_path: Path) -> dict:
              column="lang", baseline=baseline, p=0.001)
     )
     t0 = time.time()
-    v = Validator(files, tables={"commits": commits})
-    result = v.validate(suite, group_by=["partition_id"])
-    phases["constraints"] = time.time() - t0
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=1) as hx:
+        hist_fut = hx.submit(finish_hist)
+        v = Validator(files, tables={"commits": commits})
+        result = v.validate(suite, group_by=["partition_id"])
+        hist_fut.result()
+    phases["constraints_and_hist"] = time.time() - t0
 
     t0 = time.time()
     samples = v.violation_samples(suite, limit=20, only_failed_of=result,

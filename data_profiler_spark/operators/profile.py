@@ -143,7 +143,8 @@ def profile(
     hist_bins: int | str = 10,
     approx_distinct: bool = True,
     quantile_accuracy: int = 10000,
-) -> list[TableProfile]:
+    defer_histograms: bool = False,
+) -> list[TableProfile] | tuple[list[TableProfile], Any]:
     """Profile ``columns`` (default: all non-grouping columns).
 
     ``categorical_columns`` get a top-k value histogram — ALL requested
@@ -153,7 +154,13 @@ def profile(
     estimator name ("auto" | "sturges" | "fd" — numpy's rules computed from
     the pass-1 aggregates; grouped profiles pool nonnull counts and
     nonnull-weighted IQRs). ``approx_distinct=False`` switches the HLL
-    sketch to exact count_distinct (test-oracle mode)."""
+    sketch to exact count_distinct (test-oracle mode).
+
+    ``defer_histograms=True`` returns ``(profiles, finish)`` where
+    ``finish()`` runs the histogram pass (pass 2) later and fills
+    ``hist_bins``/``hist_weights`` in place — lets a caller overlap the
+    histogram job with downstream work that only needs the scalar profile
+    (pipeline parallelism; the constraint pass in the north-rule job)."""
     group_by = list(group_by or [])
     columns = list(columns or [c for c in df.columns if c not in group_by])
     qs = list(quantiles or DEFAULT_QUANTILES)
@@ -349,17 +356,22 @@ def profile(
     from concurrent.futures import ThreadPoolExecutor
 
     topk_rows: list = []
-    jobs = (1 if hterms else 0) + len(by_dtype)
+    jobs = (0 if defer_histograms else (1 if hterms else 0)) + len(by_dtype)
     if jobs > 1:
         with ThreadPoolExecutor(max_workers=jobs) as ex:
-            hist_fut = ex.submit(run_hist_pass) if hterms else None
+            hist_fut = (
+                ex.submit(run_hist_pass)
+                if hterms and not defer_histograms
+                else None
+            )
             topk_futs = [ex.submit(run_topk, cols_d) for cols_d in by_dtype.values()]
             if hist_fut is not None:
                 hist_fut.result()
             for f in topk_futs:
                 topk_rows.extend(f.result())
     else:
-        run_hist_pass()
+        if not defer_histograms:
+            run_hist_pass()
         for cols_d in by_dtype.values():
             topk_rows.extend(run_topk(cols_d))
 
@@ -385,6 +397,8 @@ def profile(
             if cp.top_k is not None:
                 cp.top_k.sort(key=lambda t: (-t["count"], str(t["value"])))
 
+    if defer_histograms:
+        return list(profiles.values()), run_hist_pass
     return list(profiles.values())
 
 

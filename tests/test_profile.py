@@ -135,3 +135,22 @@ def test_profile_auto_bins_and_fused_topk(spark):
     assert {t["value"] for t in t1} == {"x", "y", "z"}
     assert {t["value"] for t in t2} == {"a", "b"}
     assert t1[0]["count"] >= t1[-1]["count"]
+
+
+def test_profile_deferred_histograms(spark):
+    from data_profiler_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(float(i), ["a", "b"][i % 2]) for i in range(100)], "v double, c string"
+    )
+    profs, finish = profile(
+        df, columns=["v"], categorical_columns=["c"], hist_bins=5,
+        defer_histograms=True,
+    )
+    cp = profs[0].columns["v"]
+    assert cp.hist_bins is None          # pass 2 not run yet
+    assert cp.min_v == 0.0 and cp.max_v == 99.0
+    assert profs[0].columns["c"].top_k   # top-k already there
+    finish()                             # runs the deferred pass, fills in place
+    assert len(cp.hist_bins) == 6
+    assert abs(sum(cp.hist_weights) - 1.0) < 1e-9
