@@ -205,6 +205,13 @@ def c_most_common(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledC
     colname = kw["column"]
     vs = set(kw["value_set"])
     ties_okay = bool(kw.get("ties_okay", False))
+    # Cap on the collected tied-mode set: on broadly tied data (e.g. every
+    # value unique, all counts == 1) the argmax set is the whole distinct
+    # domain — an unbounded driver collect. We fetch max_modes + 1 rows per
+    # group (deterministic order) so truncation is DETECTED, the verdict
+    # fails closed (all-modes-in-set can't be proven from a sample), and
+    # details carry the flag.
+    max_modes = int(kw.get("max_modes", 100))
     mode_a = metric_alias("column.mode_set", column=colname)
 
     def post_pass(frame: DataFrame, group_by: list[str], groups):
@@ -217,12 +224,24 @@ def c_most_common(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledC
         )
         if group_by:
             w = Window.partitionBy(*group_by)
+            wr = Window.partitionBy(*group_by).orderBy(F.col(colname))
+            top = (
+                counted.withColumn("__max", F.max("__cnt").over(w))
+                .where(F.col("__cnt") == F.col("__max"))
+                .withColumn("__rn", F.row_number().over(wr))
+                .where(F.col("__rn") <= max_modes + 1)
+            )
+            rows = top.collect()
         else:
-            w = Window.partitionBy(F.lit(1))
-        top = counted.withColumn("__max", F.max("__cnt").over(w)).where(
-            F.col("__cnt") == F.col("__max")
-        )
-        rows = top.collect()
+            # ungrouped: distributed max + TakeOrdered, no lit(1) window
+            mx = counted.agg(F.max("__cnt").alias("m")).first()["m"]
+            rows = (
+                counted.where(F.col("__cnt") == F.lit(mx)).orderBy(F.col(colname))
+                .limit(max_modes + 1)
+                .collect()
+                if mx is not None
+                else []
+            )
         out: dict = {}
         for r in rows:
             key = tuple(r[k] for k in group_by) if group_by else ()
@@ -233,12 +252,15 @@ def c_most_common(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledC
 
     def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
         modes = metrics.get(mode_a) or []
+        truncated = len(modes) > max_modes
+        modes = modes[:max_modes]
         if not modes:
             success = True  # vacuous on empty domain
         elif ties_okay:
             success = any(v in vs for v in modes)
         else:
-            success = all(v in vs for v in modes)
+            # fail closed under truncation: can't prove ALL modes in set
+            success = (not truncated) and all(v in vs for v in modes)
         return ConstraintResult(
             constraint_id=constraint.id,
             constraint_type=constraint.type,
@@ -246,6 +268,7 @@ def c_most_common(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledC
             success=bool(success),
             group=group,
             observed_value=modes,
+            details={"mode_set_truncated": True} if truncated else {},
         )
 
     return CompiledConstraint(
@@ -253,6 +276,7 @@ def c_most_common(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledC
         agg_terms=[],
         verdict_fn=verdict,
         post_pass_fn=post_pass,
+        post_pass_needs_metrics=False,  # mode set needs no pass-1 metrics
     )
 
 

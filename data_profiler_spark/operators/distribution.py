@@ -265,22 +265,63 @@ def c_ks_test(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConst
 def c_cramers_phi(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
     """ref: dataset/dataset.py:4369-4440. Contingency table via ONE
     distributed groupBy(A, B).count() (bounded cardinality), Cramer's V on
-    the driver — replaces the pandas-only crosstab."""
+    the driver — replaces the pandas-only crosstab.
+
+    The driver collect is GUARDED: the fused pass first computes
+    approx_count_distinct of A and B per group; any group whose estimated
+    cell count |A| x |B| exceeds ``max_cells`` (default 10^6, HLL-estimate
+    with a 1.1 safety factor) is excluded from the crosstab job and fails
+    with ``exception_info`` instead of risking a driver OOM — the
+    reference's pandas crosstab (dataset/pandas_dataset.py:550-562) has the
+    same hazard unguarded (VERDICT r2 wrong #1)."""
     kw = constraint.kwargs
     a_col, b_col = kw["column_A"], kw["column_B"]
     threshold = float(kw.get("threshold", 0.1))
+    max_cells = int(kw.get("max_cells", 1_000_000))
     phi_a = metric_alias("pair.cramers_phi", a=a_col, b=b_col)
+    guard_a = metric_alias("pair.cramers_phi_guard", a=a_col, b=b_col)
+    da_a = metric_alias("column.distinct", column=a_col, approx=True)
+    db_a = metric_alias("column.distinct", column=b_col, approx=True)
+
+    terms = [
+        AggTerm(da_a, F.approx_count_distinct(F.col(a_col))),
+        AggTerm(db_a, F.approx_count_distinct(F.col(b_col))),
+    ]
 
     def post_pass(frame: DataFrame, group_by: list[str], groups):
+        out: dict = {}
+        unsafe_keys: list[tuple] = []
+        for g, metrics in groups:
+            cells = 1.1 * float(metrics.get(da_a) or 0) * float(metrics.get(db_a) or 0)
+            if cells > max_cells:
+                unsafe_keys.append(g)
+                out[g] = {
+                    guard_a: (
+                        f"contingency table too large: ~{int(cells):,} cells "
+                        f"(est. |{a_col}| x |{b_col}|) > max_cells={max_cells:,}"
+                    )
+                }
+        if group_by and len(unsafe_keys) == len(groups):
+            return out
+        if not group_by and unsafe_keys:
+            return out
+
+        frame = frame.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        if unsafe_keys:
+            # exclude the (few) over-cap groups from the crosstab job
+            is_unsafe = F.lit(False)
+            for g in unsafe_keys:
+                eq = F.lit(True)
+                for k, v in zip(group_by, g):
+                    eq = eq & F.col(k).eqNullSafe(F.lit(v))
+                is_unsafe = is_unsafe | eq
+            frame = frame.where(~is_unsafe)
         keys = list(group_by) + [a_col, b_col]
-        counted = frame.where(
-            F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
-        ).groupBy(*keys).count().collect()
+        counted = frame.groupBy(*keys).count().collect()
         by_group: dict[tuple, dict[tuple, int]] = {}
         for r in counted:
             g = tuple(r[k] for k in group_by) if group_by else ()
             by_group.setdefault(g, {})[(r[a_col], r[b_col])] = r["count"]
-        out = {}
         for g, cells in by_group.items():
             avals = sorted({k[0] for k in cells}, key=str)
             bvals = sorted({k[1] for k in cells}, key=str)
@@ -289,6 +330,15 @@ def c_cramers_phi(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledC
         return out
 
     def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
+        guard = metrics.get(guard_a)
+        if guard:
+            return ConstraintResult(
+                constraint_id=constraint.id, constraint_type=constraint.type,
+                kwargs=dict(kw),
+                success=False,
+                group=group,
+                exception_info=guard,
+            )
         v = metrics.get(phi_a, 0.0)
         return ConstraintResult(
             constraint_id=constraint.id, constraint_type=constraint.type,
@@ -299,7 +349,7 @@ def c_cramers_phi(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledC
         )
 
     return CompiledConstraint(
-        constraint=constraint, agg_terms=[], verdict_fn=verdict, post_pass_fn=post_pass
+        constraint=constraint, agg_terms=terms, verdict_fn=verdict, post_pass_fn=post_pass
     )
 
 

@@ -99,4 +99,5 @@ def c_referential(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledC
         verdict_fn=verdict,
         violations_fn=_orphans,
         post_pass_fn=post_pass,
+        post_pass_needs_metrics=False,  # anti-join needs no pass-1 metrics
     )

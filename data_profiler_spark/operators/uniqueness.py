@@ -137,6 +137,7 @@ def _compile_unique(constraint: Constraint, df: DataFrame, key_cols: list[str]) 
         verdict_fn=verdict,
         violations_fn=violations,
         post_pass_fn=post_pass,
+        post_pass_needs_metrics=False,  # salted dup count needs no pass-1 metrics
     )
 
 

@@ -61,6 +61,12 @@ class CompiledConstraint:
     ``value_column`` (column-domain map constraints) names the column whose
     violating VALUES populate the result-format ladder
     (partial_unexpected_list / counts / unexpected_list).
+    ``post_pass_needs_metrics=False`` marks a post pass that never reads the
+    fused-pass results (uniqueness, referential, mode-set) — the Validator
+    starts it CONCURRENTLY with the fused pass (passing ``groups=[]``),
+    shortening the serial job chain; two-phase metrics that consume pass-1
+    aggregates (z-score mean/stddev, the Cramér's-phi cardinality guard)
+    keep the default True and run after.
     """
 
     constraint: Constraint
@@ -73,6 +79,7 @@ class CompiledConstraint:
                  dict[GroupKey, dict[str, Any]]]
         | None
     ) = None
+    post_pass_needs_metrics: bool = True
 
     def verdict(self, metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
         assert self.verdict_fn is not None

@@ -68,40 +68,61 @@ def expect_file_size_to_be_between(
     return {"success": bool(ok), "observed_value": size}
 
 
+def _file_lines(spark: SparkSession, path: str, skip: int = 0) -> DataFrame:
+    """(path, value) rows, one per line.
+
+    ``skip == 0`` (the common case) uses the splittable line reader —
+    parallel across files AND within large files; line ORDER is irrelevant
+    to any aggregate over it. ``skip > 0`` needs a contractual per-file line
+    index (``monotonically_increasing_id`` tracks partition packing order,
+    which is NOT guaranteed to be file order when one file spans splits —
+    ADVICE r2), so it reads each file whole (``wholetext``) and derives the
+    index with ``posexplode`` — exact, deterministic, bounded by the largest
+    single file."""
+    if skip <= 0:
+        return spark.read.text(path).select(
+            F.input_file_name().alias("path"), F.col("value")
+        )
+    whole = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("path"), F.col("value")
+    )
+    arr = F.split(F.col("value"), r"\r\n|\r|\n")
+    # text() emits no row for a trailing newline: drop the empty last element
+    arr = F.when(
+        (F.size(arr) > 0) & (F.element_at(arr, -1) == ""),
+        F.slice(arr, 1, F.size(arr) - 1),
+    ).otherwise(arr)
+    return (
+        whole.select("path", F.posexplode(arr).alias("__ln", "value"))
+        .where(F.col("__ln") >= skip)  # posexplode is 0-based
+        .select("path", "value")
+    )
+
+
 def line_regex_match_counts(
-    spark: SparkSession, path: str, regex: str, skip: int = 0
+    spark: SparkSession, path: str, regex: str, skip: int = 0,
+    count_per_line: int | None = None,
 ) -> DataFrame:
     """Per-file (path, element_count, match_count, unexpected_percent) for a
     line regex — ONE fused agg, never a driver-side line loop (ref reads the
     whole file into a list, file_data_asset.py:186-249).
 
     ``skip`` drops the first N lines of each file (header skip), mirroring
-    the reference's ``skip`` kwarg."""
-    lines = spark.read.text(path).select(
-        F.input_file_name().alias("path"), F.col("value")
-    )
-    if skip > 0:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("path").orderBy(F.monotonically_increasing_id())
-        lines = (
-            lines.withColumn("__ln", F.row_number().over(w))
-            .where(F.col("__ln") > skip)
-            .drop("__ln")
-        )
+    the reference's ``skip`` kwarg. ``count_per_line=None`` counts lines
+    with >= 1 match (``rlike``); an int counts lines whose EXACT per-line
+    match count equals it (native ``regexp_count`` — the reference's
+    re.findall length semantics, file_data_asset.py:251-305)."""
+    lines = _file_lines(spark, path, skip)
+    if count_per_line is None:
+        is_match = F.col("value").rlike(regex)
+    else:
+        is_match = F.regexp_count(F.col("value"), F.lit(regex)) == int(count_per_line)
+    m = F.sum(F.when(is_match, 1).otherwise(0))
     return lines.groupBy("path").agg(
         F.count(F.lit(1)).alias("element_count"),
-        F.sum(F.when(F.col("value").rlike(regex), 1).otherwise(0)).alias(
-            "match_count"
-        ),
+        m.alias("match_count"),
         F.round(
-            100.0
-            * (
-                F.count(F.lit(1))
-                - F.sum(F.when(F.col("value").rlike(regex), 1).otherwise(0))
-            )
-            / F.count(F.lit(1)),
-            6,
+            100.0 * (F.count(F.lit(1)) - m) / F.count(F.lit(1)), 6
         ).alias("unexpected_percent"),
     )
 
@@ -111,17 +132,16 @@ def expect_file_line_regex_match_count_to_equal(
     mostly: float = 1.0,
 ) -> dict:
     """ref: expect_file_line_regex_match_count_to_equal
-    (file_data_asset.py:251-305): every line must match the regex exactly
-    ``expected_count`` times; here ``expected_count`` semantics simplify to
-    count-of-matching-lines >= mostly * lines when expected_count == 1
-    (the only value the reference's own examples use)."""
-    rows = line_regex_match_counts(spark, path, regex, skip).collect()
+    (file_data_asset.py:251-305): a line is unexpected unless the regex
+    matches it EXACTLY ``expected_count`` times (len(re.findall) == N —
+    exact semantics for any N via native ``regexp_count``); success when
+    the expected-line fraction >= ``mostly``."""
+    rows = line_regex_match_counts(
+        spark, path, regex, skip, count_per_line=max(0, int(expected_count))
+    ).collect()
     total = sum(int(r["element_count"]) for r in rows)
     matched = sum(int(r["match_count"]) for r in rows)
-    if expected_count <= 0:
-        success = matched == 0
-    else:
-        success = total > 0 and matched / total >= mostly
+    success = total > 0 and matched / total >= mostly
     return {
         "success": bool(success),
         "observed_value": {"element_count": total, "match_count": matched},

@@ -137,27 +137,34 @@ class Validator:
         if do_persist:
             self.df.persist()
         try:
-            groups = run_fused_pass(self.df, terms, group_by)
-
             # post passes: one extra bounded job per constraint that needs
             # one — submitted CONCURRENTLY (Spark's scheduler interleaves
             # jobs from separate threads; serially, each small job leaves
             # most cores idle and the dead time is pure Amdahl loss at high
-            # parallelism). Each constraint writes its own metric aliases,
-            # so merges are conflict-free.
+            # parallelism). Post passes that never read the fused metrics
+            # (post_pass_needs_metrics=False) start BEFORE the fused pass so
+            # they overlap it too; metric-consuming ones (z-score phase 2,
+            # crosstab guard) run after pass 1 resolves. Each constraint
+            # writes its own metric aliases, so merges are conflict-free.
             post = [c for c in compiled if c.post_pass_fn is not None]
-            if len(post) == 1:
-                all_updates = [post[0].post_pass_fn(self.df, group_by, groups)]
-            elif post:
+            early = [c for c in post if not c.post_pass_needs_metrics]
+            late = [c for c in post if c.post_pass_needs_metrics]
+            if post:
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(max_workers=min(8, len(post))) as ex:
-                    futs = [
-                        ex.submit(c.post_pass_fn, self.df, group_by, groups)
-                        for c in post
+                    early_futs = [
+                        ex.submit(c.post_pass_fn, self.df, group_by, [])
+                        for c in early
                     ]
-                    all_updates = [f.result() for f in futs]
+                    groups = run_fused_pass(self.df, terms, group_by)
+                    late_futs = [
+                        ex.submit(c.post_pass_fn, self.df, group_by, groups)
+                        for c in late
+                    ]
+                    all_updates = [f.result() for f in early_futs + late_futs]
             else:
+                groups = run_fused_pass(self.df, terms, group_by)
                 all_updates = []
             for updates in all_updates:
                 for key, metrics in groups:
@@ -229,19 +236,27 @@ class Validator:
             counted = vdf.groupBy(*(group_by + ["__val"])).agg(
                 F.count(F.lit(1)).alias("__cnt")
             )
-            if result_format == "COMPLETE":
-                # full value counts (distinct values capped, deterministic)
+            limit_n = (
+                complete_limit if result_format == "COMPLETE"
+                else partial_unexpected_count
+            )
+            if group_by:
+                # per-group cap: every failed group keeps its own top values
+                # (a single global limit would let one group's hot values
+                # crowd out another's entirely)
+                w = Window.partitionBy(*group_by).orderBy(
+                    F.desc("__cnt"), F.col("__val")
+                )
                 return (
-                    counted.orderBy(F.desc("__cnt"), F.col("__val"))
-                    .limit(complete_limit)
+                    counted.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") <= limit_n)
                     .collect()
                 )
-            w = Window.partitionBy(
-                *(group_by or [F.lit(1)])
-            ).orderBy(F.desc("__cnt"), F.col("__val"))
+            # ungrouped: distributed TakeOrderedAndProject, never a
+            # Window.partitionBy(lit(1)) single-task stage
             return (
-                counted.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") <= partial_unexpected_count)
+                counted.orderBy(F.desc("__cnt"), F.col("__val"))
+                .limit(limit_n)
                 .collect()
             )
 

@@ -97,6 +97,25 @@ def test_most_common_ties(spark):
     assert r2.success is True
 
 
+def test_most_common_truncation_cap(spark):
+    """ADVICE r2: an all-unique column ties every value at count 1 — the
+    mode-set collect must stay bounded (max_modes) and fail closed."""
+    df = spark.range(500).selectExpr("cast(id as string) AS v")
+    r = Validator(df).expect(
+        "expect_column_most_common_value_to_be_in_set",
+        column="v", value_set=[str(i) for i in range(500)], max_modes=50,
+    )
+    assert len(r.observed_value) == 50
+    assert r.details.get("mode_set_truncated") is True
+    assert r.success is False  # can't prove ALL modes in set from a sample
+    # ties_okay still passes from the sample
+    r2 = Validator(df).expect(
+        "expect_column_most_common_value_to_be_in_set",
+        column="v", value_set=["0"], ties_okay=True, max_modes=50,
+    )
+    assert r2.success is True
+
+
 def test_distinct_sets(typed_small):
     v = Validator(typed_small)
     assert v.expect(
