@@ -2,16 +2,32 @@
 
 The Spark-first rebuild of ``BasicDatasetProfiler._profile``
 (/root/reference/src/data_profiler/profile/basic_dataset_profiler.py:118-335)
-and ``UserConfigurableProfiler`` (profile/user_configurable_profiler.py:32-195):
-classify each column's semantic type + cardinality from the single-pass
-profile, then emit the type/cardinality-appropriate constraints pinned to
-observed values. Cardinality thresholds mirror basic_dataset_profiler.py:93-111.
+and ``UserConfigurableProfiler`` (profile/user_configurable_profiler.py:32-195,
+688-1133): classify each column's semantic type + cardinality from the
+single-pass profile, then emit the type/cardinality-appropriate constraints
+pinned to observed values. Cardinality thresholds mirror
+basic_dataset_profiler.py:93-111; the option surface
+(``semantic_types_dict`` / ``value_set_threshold`` /
+``primary_or_compound_key`` / ``excluded_expectations`` / ``not_null_only`` /
+``table_expectations_only``) mirrors user_configurable_profiler.py:56-147.
 """
 
 from __future__ import annotations
 
+from typing import Any
+
 from data_profiler_spark.core.suite import ConstraintSuite
 from data_profiler_spark.operators.profile import ColumnProfile, TableProfile
+
+# ref profile/base.py:234-241
+PROFILER_SEMANTIC_TYPES = {
+    "DATETIME", "NUMERIC", "STRING", "VALUE_SET", "BOOLEAN", "OTHER",
+}
+
+# ref profile/base.py:42-56 (OrderedProfilerCardinality)
+CARDINALITY_ORDER = [
+    "NONE", "ONE", "TWO", "VERY_FEW", "FEW", "MANY", "VERY_MANY", "UNIQUE",
+]
 
 
 def classify_cardinality(cp: ColumnProfile) -> str:
@@ -41,66 +57,162 @@ def build_suite_from_profile(
     name: str = "auto_profile",
     null_mostly_slack: float = 0.01,
     numeric_slack: float = 0.1,
+    semantic_types_dict: dict[str, list[str]] | None = None,
+    value_set_threshold: str = "VERY_FEW",
+    primary_or_compound_key: list[str] | None = None,
+    excluded_expectations: list[str] | None = None,
+    not_null_only: bool = False,
+    table_expectations_only: bool = False,
 ) -> ConstraintSuite:
-    """Strict-ish suite pinned to the observed profile:
-    - not_null with mostly = observed nonnull fraction - slack (or be_null
-      when the column is >50% null — ref user_configurable_profiler nullity
-      rule);
-    - min/max/mean between observed +/- slack for numeric columns;
-    - distinct-value containment for VERY_FEW cardinality;
-    - uniqueness for UNIQUE cardinality;
-    - drift vs the observed distribution sketch (top-k or histogram).
+    """Strict-ish suite pinned to the observed profile.
+
+    Options (reference parity, user_configurable_profiler.py:56-147):
+
+    - ``semantic_types_dict``: {semantic_type: [columns]} with types from
+      ``PROFILER_SEMANTIC_TYPES``. When given, NUMERIC bounds are emitted
+      only for columns declared NUMERIC, and declared VALUE_SET columns get
+      a row-level ``expect_column_values_to_be_in_set`` pinned to the
+      observed domain regardless of cardinality (ref
+      _build_expectations_value_set, :688-715); undeclared columns keep
+      only nullity + drift.
+    - ``value_set_threshold``: cardinality rung (``CARDINALITY_ORDER``) at
+      or below which a distinct-value containment constraint is pinned
+      (ref :296-297). Default "VERY_FEW" — stricter than the reference's
+      "MANY" because our set is built from the profile's top-k sketch and
+      is only emitted when the sketch provably covers the domain
+      (len(top_k) >= distinct).
+    - ``primary_or_compound_key``: list of columns — single-column or
+      compound uniqueness (ref _build_expectations_primary_or_compound_key,
+      :896-924).
+    - ``excluded_expectations``: constraint type names never emitted.
+    - ``not_null_only``: never emit ``expect_column_values_to_be_null`` —
+      mostly-null columns get a weak not_null instead (ref :64,80-85).
+    - ``table_expectations_only``: only the table-level expectations
+      (row count + column set; ref _build_expectations_table, :1104-1133).
     """
+    excluded = set(excluded_expectations or [])
+    if semantic_types_dict:
+        bad = {k for k in semantic_types_dict if k.upper() not in PROFILER_SEMANTIC_TYPES}
+        if bad:
+            raise ValueError(
+                f"unknown semantic types {sorted(bad)}; expected one of "
+                f"{sorted(PROFILER_SEMANTIC_TYPES)}"
+            )
+    vst = value_set_threshold.upper()
+    if vst not in CARDINALITY_ORDER:
+        raise ValueError(
+            f"value_set_threshold must be one of {CARDINALITY_ORDER}, got {vst!r}"
+        )
+    col_semantics: dict[str, set[str]] = {}
+    for stype, cols in (semantic_types_dict or {}).items():
+        for c in cols:
+            col_semantics.setdefault(c, set()).add(stype.upper())
+
     suite = ConstraintSuite(name)
+
+    def add(ctype: str, **kwargs: Any) -> None:
+        if ctype not in excluded:
+            suite.add(ctype, **kwargs)
+
+    # ---- table-level (ref _build_expectations_table) -------------------
+    any_cp = next(iter(tp.columns.values()), None)
+    if any_cp is not None:
+        add("expect_table_row_count_to_equal", value=any_cp.row_count)
+        add(
+            "expect_table_columns_to_match_set",
+            column_set=sorted(tp.columns.keys()),
+            exact_match=False,
+        )
+    if table_expectations_only:
+        return suite
+
+    # ---- primary / compound key ---------------------------------------
+    if primary_or_compound_key:
+        key = list(primary_or_compound_key)
+        if len(key) > 1:
+            add("expect_compound_columns_to_be_unique", column_list=key)
+        else:
+            add("expect_column_values_to_be_unique", column=key[0])
+
     for colname, cp in tp.columns.items():
         n = cp.row_count
         if n == 0:
             continue
+        # when a semantic_types_dict is given, UNDECLARED columns keep only
+        # nullity + drift (ref: declared types drive the build, :330-360)
+        semantics = (
+            col_semantics.get(colname, set())
+            if semantic_types_dict
+            else None
+        )
         null_frac = cp.null_count / n
-        if null_frac > 0.5:
-            suite.add(
+        if null_frac > 0.5 and not not_null_only:
+            add(
                 "expect_column_values_to_be_null", column=colname,
                 mostly=max(0.0, round(null_frac - null_mostly_slack, 6)),
             )
         else:
-            suite.add(
+            add(
                 "expect_column_values_to_not_be_null", column=colname,
                 mostly=max(0.0, round(1.0 - null_frac - null_mostly_slack, 6)),
             )
         card = classify_cardinality(cp)
-        if card == "UNIQUE":
-            suite.add("expect_column_values_to_be_unique", column=colname)
-        if card in ("ONE", "TWO", "VERY_FEW") and cp.top_k:
-            suite.add(
+        if card == "UNIQUE" and not primary_or_compound_key:
+            add("expect_column_values_to_be_unique", column=colname)
+
+        # value-set containment: domain provably covered by the top-k sketch
+        covered = bool(cp.top_k) and cp.approx_distinct <= len(cp.top_k or [])
+        if semantics is not None:
+            if "VALUE_SET" in semantics and covered:
+                add(
+                    "expect_column_values_to_be_in_set",
+                    column=colname,
+                    value_set=[t["value"] for t in cp.top_k],
+                )
+        elif (
+            card != "NONE"
+            and CARDINALITY_ORDER.index(card) <= CARDINALITY_ORDER.index(vst)
+            and covered
+        ):
+            add(
                 "expect_column_distinct_values_to_be_in_set",
                 column=colname,
                 value_set=[t["value"] for t in cp.top_k],
             )
-        if cp.mean_v is not None and not cp.is_length_profile:
+
+        numeric_ok = (
+            ("NUMERIC" in semantics) if semantics is not None
+            else not cp.is_length_profile
+        )
+        if cp.mean_v is not None and numeric_ok and not cp.is_length_profile:
             span = (cp.max_v - cp.min_v) or 1.0
-            suite.add(
+            add(
                 "expect_column_min_to_be_between", column=colname,
                 min_value=cp.min_v - numeric_slack * span, max_value=cp.min_v + numeric_slack * span,
             )
-            suite.add(
+            add(
                 "expect_column_max_to_be_between", column=colname,
                 min_value=cp.max_v - numeric_slack * span, max_value=cp.max_v + numeric_slack * span,
             )
-            suite.add(
+            add(
                 "expect_column_mean_to_be_between", column=colname,
                 min_value=cp.mean_v - numeric_slack * span, max_value=cp.mean_v + numeric_slack * span,
             )
-        if cp.is_length_profile and cp.max_v is not None:
-            suite.add(
+        if cp.is_length_profile and cp.max_v is not None and (
+            semantics is None or "STRING" in semantics
+        ):
+            add(
                 "expect_column_value_lengths_to_be_between", column=colname,
                 min_value=0, max_value=int(cp.max_v * (1 + numeric_slack)) + 1,
             )
         try:
             baseline = cp.as_baseline()
-            suite.add(
+            add(
                 "expect_column_distribution_to_match_baseline",
                 column=colname, baseline=baseline, p=0.001,
             )
         except ValueError:
+            # no distribution sketch for this column (neither top-k nor
+            # histogram was profiled) — skip the drift term
             pass
     return suite

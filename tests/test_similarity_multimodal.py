@@ -51,6 +51,70 @@ def test_ivf_recall(vectors):
     assert key(exact) == key(approx)
 
 
+def test_kmeans_refined_ivf_recall(spark):
+    """VERDICT r2 #4: quantify IVF recall and show the deterministic Lloyd
+    refinement improves it on clustered data (recall@10 >= 0.9 at
+    nprobe=3/8, refined >= seed)."""
+    import numpy as np
+
+    from data_profiler_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+        ivf_assign,
+        kmeans_like_centroids,
+        kmeans_refined_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(8, 16)) * 6.0
+    vecs = np.concatenate(
+        [centers[i] + rng.normal(size=(50, 16)) for i in range(8)]
+    )
+    perm = rng.permutation(len(vecs))  # ids uncorrelated with cluster
+    rows = [(i, [float(x) for x in vecs[perm[i]]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact: dict[int, set] = {}
+    for r in ann_topk_bruteforce(df, q, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(cents) -> float:
+        approx: dict[int, set] = {}
+        rows_ = ann_topk_ivf(df, q, k=10, nprobe=3, centroids=cents).collect()
+        for r in rows_:
+            approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(exact[k] & approx.get(k, set())) / len(exact[k]) for k in exact
+        ) / len(exact)
+
+    seed = kmeans_like_centroids(df, "vec_id", "embedding", 8)
+    refined = kmeans_refined_centroids(df, "vec_id", "embedding", 8, iters=3)
+    r_seed, r_ref = recall(seed), recall(refined)
+    print(f"IVF recall@10 nprobe=3/8: seed={r_seed:.3f} refined={r_ref:.3f}")
+    assert r_ref >= 0.9
+    assert r_ref >= r_seed
+    # every refined bucket stays populated (Lloyd keeps empty clusters at
+    # their previous centroid; balance itself is data/seed-dependent — a
+    # lowest-id seed pair landing in one true cluster is a classic local
+    # optimum, so balance is reported, not asserted)
+    sizes = [
+        r["count"]
+        for r in ivf_assign(df, refined, "vec_id", "embedding")
+        .groupBy("centroid_id").count().collect()
+    ]
+    print(f"refined bucket sizes: {sorted(sizes)}")
+    assert len(sizes) == 8 and min(sizes) >= 1
+    # determinism: a second refinement run yields identical centroids
+    again = kmeans_refined_centroids(df, "vec_id", "embedding", 8, iters=3)
+    a = sorted(map(tuple, refined.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert [x[0] for x in a] == [x[0] for x in b]
+    for (_, va), (_, vb) in zip(a, b):
+        assert va == pytest.approx(vb, abs=1e-12)
+
+
 def test_embedding_near_dup(vectors):
     from data_profiler_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -128,6 +192,71 @@ def test_autoprofile_suite(typed_small):
     res = Validator(typed_small).validate(suite)
     failed = [r for r in res.results if not r.success]
     assert failed == [], [(r.constraint_type, r.kwargs, r.observed_value) for r in failed]
+
+
+def test_autoprofile_option_surface(typed_small):
+    """UserConfigurableProfiler option parity (VERDICT r2 #7; ref
+    user_configurable_profiler.py:56-147, 688-924, 1104-1133)."""
+    from data_profiler_spark.operators.autoprofile import build_suite_from_profile
+    from data_profiler_spark.operators.profile import profile
+    from data_profiler_spark.validator import Validator
+
+    (tp,) = profile(
+        typed_small,
+        columns=["ints", "floats", "cat"],
+        categorical_columns=["cat"],
+        approx_distinct=False,
+    )
+
+    # table_expectations_only -> exactly the two table-level expectations
+    t_only = build_suite_from_profile(tp, table_expectations_only=True)
+    assert sorted(c.type for c in t_only.constraints) == [
+        "expect_table_columns_to_match_set",
+        "expect_table_row_count_to_equal",
+    ]
+    assert Validator(typed_small).validate(t_only).success
+
+    # primary_or_compound_key: compound -> compound uniqueness, no per-column
+    key_suite = build_suite_from_profile(
+        tp, primary_or_compound_key=["ints", "cat"]
+    )
+    types = [c.type for c in key_suite.constraints]
+    assert "expect_compound_columns_to_be_unique" in types
+    single = build_suite_from_profile(tp, primary_or_compound_key=["cat"])
+    assert "expect_column_values_to_be_unique" in [
+        c.type for c in single.constraints
+    ]
+
+    # semantic_types_dict: VALUE_SET -> row-level in_set pinned to domain;
+    # NUMERIC bounds only for declared numeric columns
+    sem = build_suite_from_profile(
+        tp,
+        semantic_types_dict={"numeric": ["ints"], "value_set": ["cat"]},
+    )
+    by_type: dict[str, list] = {}
+    for c in sem.constraints:
+        by_type.setdefault(c.type, []).append(c.kwargs)
+    in_set = by_type["expect_column_values_to_be_in_set"]
+    assert in_set and in_set[0]["column"] == "cat"
+    assert sorted(in_set[0]["value_set"]) == ["a", "b", "c"]
+    numeric_cols = {k["column"] for k in by_type.get("expect_column_mean_to_be_between", [])}
+    assert numeric_cols == {"ints"}
+    res = Validator(typed_small).validate(sem)
+    assert [r for r in res.results if not r.success] == []
+
+    # invalid semantic type / threshold raise
+    with pytest.raises(ValueError):
+        build_suite_from_profile(tp, semantic_types_dict={"nope": ["cat"]})
+    with pytest.raises(ValueError):
+        build_suite_from_profile(tp, value_set_threshold="sometimes")
+
+    # excluded_expectations filters; not_null_only never emits be_null
+    excl = build_suite_from_profile(
+        tp, excluded_expectations=["expect_column_mean_to_be_between"]
+    )
+    assert "expect_column_mean_to_be_between" not in {c.type for c in excl.constraints}
+    nn = build_suite_from_profile(tp, not_null_only=True)
+    assert "expect_column_values_to_be_null" not in {c.type for c in nn.constraints}
 
 
 def test_splitters_samplers(spark):
