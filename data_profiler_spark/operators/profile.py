@@ -221,6 +221,51 @@ def profile(
                 aliases[(c, stat)] = a
                 terms.append(AggTerm(a, expr))
 
+    # ---- categorical top-k: independent of pass 1 — submitted BEFORE it so
+    # the two scans overlap (job-scheduling dead time between serial jobs is
+    # pure Amdahl loss at high core counts). ONE fused explode job per value
+    # dtype (round 1 ran one groupBy job per column); the dtype split keeps
+    # each value's native type for downstream drift-term compilation.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Window
+
+    by_dtype: dict[str, list[str]] = {}
+    for c in categorical_columns:
+        by_dtype.setdefault(df.schema[c].dataType.simpleString(), []).append(c)
+
+    def run_topk(cols_d: list[str]) -> list:
+        cv = F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("colname"), F.col(c).alias("value"))
+                    for c in cols_d
+                ]
+            )
+        ).alias("cv")
+        counted = (
+            df.select(*[F.col(k) for k in group_by], cv)
+            .select(*group_by, "cv.colname", "cv.value")
+            .where(F.col("value").isNotNull())
+            .groupBy(*(group_by + ["colname", "value"]))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy(*(group_by + ["colname"])).orderBy(
+            F.desc("cnt"), F.col("value")
+        )
+        return (
+            counted.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= top_k)
+            .collect()
+        )
+
+    topk_ex = ThreadPoolExecutor(max_workers=len(by_dtype)) if by_dtype else None
+    topk_futs = (
+        [topk_ex.submit(run_topk, cols_d) for cols_d in by_dtype.values()]
+        if topk_ex
+        else []
+    )
+
     groups = run_fused_pass(base, terms, group_by)
 
     profiles: dict[tuple, TableProfile] = {}
@@ -301,15 +346,8 @@ def profile(
             hterms.append(AggTerm(a, F.sum(F.when(cond, 1).otherwise(0))))
         hist_specs[c] = (edges, bin_aliases)
 
-    # ---- pass 2 + categorical top-k: independent given pass-1 results,
-    # submitted CONCURRENTLY (Spark interleaves jobs across threads; run
-    # serially, each job's scheduling/final-merge dead time is pure Amdahl
-    # loss at high core counts) ---------------------------------------------
-    # top-k is ONE fused explode job per value dtype (round 1 ran one
-    # groupBy job per column); the dtype split keeps each value's native
-    # type for downstream drift-term compilation.
-    from pyspark.sql import Window
-
+    # ---- pass 2 (histograms): needs pass-1 min/max; overlaps any still-
+    # running top-k jobs, or is deferred entirely (defer_histograms) -------
     def run_hist_pass():
         if not hterms:
             return
@@ -324,56 +362,15 @@ def profile(
                     [w / total for w in weights] if total else weights
                 )
 
-    by_dtype: dict[str, list[str]] = {}
-    for c in categorical_columns:
-        by_dtype.setdefault(df.schema[c].dataType.simpleString(), []).append(c)
-
-    def run_topk(cols_d: list[str]) -> list:
-        cv = F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(c).alias("colname"), F.col(c).alias("value"))
-                    for c in cols_d
-                ]
-            )
-        ).alias("cv")
-        counted = (
-            df.select(*[F.col(k) for k in group_by], cv)
-            .select(*group_by, "cv.colname", "cv.value")
-            .where(F.col("value").isNotNull())
-            .groupBy(*(group_by + ["colname", "value"]))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        w = Window.partitionBy(*(group_by + ["colname"])).orderBy(
-            F.desc("cnt"), F.col("value")
-        )
-        return (
-            counted.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= top_k)
-            .collect()
-        )
-
-    from concurrent.futures import ThreadPoolExecutor
-
     topk_rows: list = []
-    jobs = (0 if defer_histograms else (1 if hterms else 0)) + len(by_dtype)
-    if jobs > 1:
-        with ThreadPoolExecutor(max_workers=jobs) as ex:
-            hist_fut = (
-                ex.submit(run_hist_pass)
-                if hterms and not defer_histograms
-                else None
-            )
-            topk_futs = [ex.submit(run_topk, cols_d) for cols_d in by_dtype.values()]
-            if hist_fut is not None:
-                hist_fut.result()
-            for f in topk_futs:
-                topk_rows.extend(f.result())
-    else:
+    try:
         if not defer_histograms:
             run_hist_pass()
-        for cols_d in by_dtype.values():
-            topk_rows.extend(run_topk(cols_d))
+        for f in topk_futs:
+            topk_rows.extend(f.result())
+    finally:
+        if topk_ex is not None:
+            topk_ex.shutdown(wait=True)
 
     for r in topk_rows:
         key = tuple(r[k] for k in group_by) if group_by else ()

@@ -62,6 +62,13 @@ def _compile_unique(constraint: Constraint, df: DataFrame, key_cols: list[str]) 
     kw = constraint.kwargs
     mostly = float(kw.get("mostly", 1.0))
     scope = str(kw.get("scope", "group"))
+    # broadcast the dup-key set into attribution joins (right for the small
+    # dup sets of near-passing runs); set False on suites expected to fail
+    # wholesale so AQE picks a shuffled join instead of shipping a huge set
+    do_broadcast = bool(kw.get("broadcast_dup_join", True))
+
+    def _maybe_b(d: DataFrame) -> DataFrame:
+        return F.broadcast(d) if do_broadcast else d
     elem_a = metric_alias("element_count", rc=None)
     miss_a = metric_alias("missing_count", domain=",".join(key_cols), rc=None)
     unex_a = metric_alias("unexpected_count", constraint_id=constraint.id)
@@ -98,7 +105,7 @@ def _compile_unique(constraint: Constraint, df: DataFrame, key_cols: list[str]) 
             # (the dup-key set is small in any near-passing run).
             dups = duplicate_key_counts(frame.where(key_nonnull), key_cols)
             joined = frame.where(key_nonnull).join(
-                F.broadcast(dups.select(*key_cols)), on=key_cols, how="left_semi"
+                _maybe_b(dups.select(*key_cols)), on=key_cols, how="left_semi"
             )
             rows = joined.groupBy(*group_by).agg(F.count(F.lit(1)).alias("n")).collect()
         out = {tuple(r[k] for k in group_by): {unex_a: int(r["n"])} for r in rows}
@@ -129,7 +136,7 @@ def _compile_unique(constraint: Constraint, df: DataFrame, key_cols: list[str]) 
 
     def violations(frame: DataFrame) -> DataFrame:
         dups = duplicate_key_counts(frame.where(key_nonnull), key_cols)
-        return frame.join(F.broadcast(dups.select(*key_cols)), on=key_cols, how="left_semi")
+        return frame.join(_maybe_b(dups.select(*key_cols)), on=key_cols, how="left_semi")
 
     return CompiledConstraint(
         constraint=constraint,
