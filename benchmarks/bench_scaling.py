@@ -106,7 +106,7 @@ def _pipeline(spark, files_path: Path, commits_path: Path):
     from pyspark.sql import functions as F  # noqa: F401
 
     from data_profiler_spark.core.suite import ConstraintSuite
-    from data_profiler_spark.operators.profile import profile
+    from data_profiler_spark.operators.profile import profile_deferred
     from data_profiler_spark.validator import Validator, add_partition_column
 
     phases: dict[str, float] = {}
@@ -125,13 +125,12 @@ def _pipeline(spark, files_path: Path, commits_path: Path):
     # constraint suite (the drift baseline), so the histogram pass runs
     # concurrently with the constraint phase below (pipeline overlap —
     # serial profile time is the biggest Amdahl term in this job)
-    profs, finish_hist = profile(
+    profs, finish_hist = profile_deferred(
         files,
         columns=["repo", "path", "commit", "lang", "content"],
         categorical_columns=["lang"],
         hist_bins=10,
         quantile_accuracy=1000,
-        defer_histograms=True,
     )
     n_files = profs[0].columns["repo"].row_count
     phases["fused_profile"] = time.time() - t0

@@ -282,19 +282,49 @@ def c_strftime(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledCons
     return _std_map(constraint, df, expected)
 
 
+@F.pandas_udf(T.BooleanType())
+def _dateutil_parseable_udf(s: pd.Series) -> pd.Series:
+    from dateutil.parser import parse
+
+    def ok(v: Any) -> bool:
+        if v is None:
+            return False  # masked by the null-filtered domain anyway
+        try:
+            parse(v)
+            return True
+        except (ValueError, OverflowError):
+            return False
+
+    return s.map(ok)
+
+
 @register("expect_column_values_to_be_dateutil_parseable")
 def c_dateutil(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
-    """Approximation of the pandas-only dateutil check
-    (column_values_dateutil_parseable.py:13-31) with native try-parsers."""
+    """EXACT reference semantics — ``dateutil.parser.parse`` per value —
+    via an Arrow-batched pandas_udf (the reference is pandas-only,
+    column_values_dateutil_parseable.py:13-31; its TypeError-on-non-string
+    contract is enforced here at compile time against the Spark schema, so
+    the verdict carries exception_info instead of a runtime executor
+    error). ``native_approximation=True`` keeps the previous JVM-side
+    fixed-format fast path for hot paths that can tolerate it."""
     kw = constraint.kwargs
     col = F.col(kw["column"])
-    expected = (
-        F.try_to_timestamp(col).isNotNull()
-        | col.cast("date").isNotNull()
-        | F.try_to_timestamp(col, F.lit("yyyy/MM/dd")).isNotNull()
-        | F.try_to_timestamp(col, F.lit("MM/dd/yyyy")).isNotNull()
-    )
-    return _std_map(constraint, df, expected)
+    if bool(kw.get("native_approximation", False)):
+        expected = (
+            F.try_to_timestamp(col).isNotNull()
+            | col.cast("date").isNotNull()
+            | F.try_to_timestamp(col, F.lit("yyyy/MM/dd")).isNotNull()
+            | F.try_to_timestamp(col, F.lit("MM/dd/yyyy")).isNotNull()
+        )
+        return _std_map(constraint, df, expected)
+    if not isinstance(df.schema[kw["column"]].dataType, T.StringType):
+        raise TypeError(
+            "Values passed to expect_column_values_to_be_dateutil_parseable "
+            "must be of type string.\nIf you want to validate a column of "
+            "dates or timestamps, please call the expectation before "
+            "converting from string format."
+        )
+    return _std_map(constraint, df, _dateutil_parseable_udf(col))
 
 
 @F.pandas_udf(T.BooleanType())

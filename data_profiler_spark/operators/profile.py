@@ -399,6 +399,17 @@ def profile(
     return list(profiles.values())
 
 
+def profile_deferred(
+    df: DataFrame, **kwargs: Any
+) -> tuple[list[TableProfile], Any]:
+    """Always-stable signature for the deferred-histogram path (ADVICE r2):
+    returns ``(profiles, finish)`` where ``finish()`` runs the histogram
+    pass later and fills ``hist_bins``/``hist_weights`` in place. Use this
+    instead of ``profile(..., defer_histograms=True)`` when the caller
+    needs a fixed return type."""
+    return profile(df, defer_histograms=True, **kwargs)  # type: ignore[return-value]
+
+
 def profiles_to_rows(
     profiles: list[TableProfile], run_id: str, suite_id: str, snapshot_id: str = ""
 ) -> list[dict[str, Any]]:

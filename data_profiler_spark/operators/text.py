@@ -39,7 +39,13 @@ def bpe_ish_tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    return F.size(tokens(col))
+    """Size arithmetic, not a higher-order filter: splitting the TRIMMED
+    string on \\s+ leaves no interior/edge empties, so size(split(trim))
+    counts tokens exactly (empty/blank input special-cased to 0)."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, TOKEN_PATTERN))
+    )
 
 
 def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
