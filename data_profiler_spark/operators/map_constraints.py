@@ -312,7 +312,7 @@ def c_dateutil(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledCons
     if bool(kw.get("native_approximation", False)):
         expected = (
             F.try_to_timestamp(col).isNotNull()
-            | col.cast("date").isNotNull()
+            | F.try_to_date(col).isNotNull()  # try_*: ANSI casts would throw
             | F.try_to_timestamp(col, F.lit("yyyy/MM/dd")).isNotNull()
             | F.try_to_timestamp(col, F.lit("MM/dd/yyyy")).isNotNull()
         )
