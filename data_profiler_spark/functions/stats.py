@@ -176,6 +176,98 @@ def ks_2samp_from_hist(
     return d, p
 
 
+def ks_1samp_p(d: float, n: float) -> float:
+    """One-sample KS p-value from the statistic: asymptotic Kolmogorov
+    distribution with Stephens' small-sample correction (Numerical Recipes
+    14.3.18; the reference defers to scipy.kstest, whose exact small-n mode
+    can differ slightly — documented deviation)."""
+    if n <= 0:
+        return 1.0
+    en = math.sqrt(n)
+    return kolmogorov_sf((en + 0.12 + 0.11 / en) * d)
+
+
+def erfcc_np(x):
+    """Vectorized complementary error function (Numerical Recipes 6.2
+    Chebyshev fit, public-domain algorithm; |error| < 1.2e-7 everywhere).
+    numpy has no erf; scipy is not available in this environment."""
+    x = np.asarray(x, dtype=float)
+    z = np.abs(x)
+    t = 1.0 / (1.0 + 0.5 * z)
+    ans = t * np.exp(
+        -z * z
+        - 1.26551223
+        + t * (1.00002368 + t * (0.37409196 + t * (0.09678418 + t * (
+            -0.18628806 + t * (0.27886807 + t * (-1.13520398 + t * (
+                1.48851587 + t * (-0.82215223 + t * 0.17087277))))))))
+    )
+    return np.where(x >= 0.0, ans, 2.0 - ans)
+
+
+def parameterized_cdf(distribution: str, params) -> "object":
+    """Vectorized CDF x -> F(x) for the supported parameterized families
+    (scipy positional-args convention, matching the reference's
+    _scipy_distribution_positional_args_from_dict, metrics/util.py):
+
+      norm(loc, scale)         uniform(loc, scale) on [loc, loc+scale]
+      expon(loc, scale)        lognorm(s, loc, scale)  [shape s = sigma]
+
+    Raises ValueError for unsupported families / invalid parameters (the
+    reference's validate_distribution_parameters contract)."""
+    p = list(params) if not isinstance(params, dict) else None
+
+    def _get(i, name, default=None):
+        if p is not None:
+            return p[i] if i < len(p) else default
+        v = params.get(name, default)
+        if v is None:
+            raise ValueError(f"{distribution} requires parameter {name!r}")
+        return v
+
+    if distribution == "norm":
+        loc = float(_get(0, "mean", 0.0) or 0.0)
+        scale = float(_get(1, "std_dev", 1.0) or 1.0)
+        if scale <= 0:
+            raise ValueError("norm std_dev must be positive")
+        return lambda x: 1.0 - 0.5 * erfcc_np(
+            (np.asarray(x, float) - loc) / (scale * math.sqrt(2.0))
+        )
+    if distribution == "uniform":
+        loc = float(_get(0, "min", 0.0) or 0.0)
+        scale = float(_get(1, "max", 1.0) or 1.0)
+        if scale <= 0:
+            raise ValueError("uniform scale must be positive")
+        return lambda x: np.clip((np.asarray(x, float) - loc) / scale, 0.0, 1.0)
+    if distribution == "expon":
+        loc = float(_get(0, "loc", 0.0) or 0.0)
+        scale = float(_get(1, "scale", 1.0) or 1.0)
+        if scale <= 0:
+            raise ValueError("expon scale must be positive")
+        return lambda x: np.where(
+            np.asarray(x, float) < loc,
+            0.0,
+            1.0 - np.exp(-(np.asarray(x, float) - loc) / scale),
+        )
+    if distribution == "lognorm":
+        s = float(_get(0, "s", 1.0) or 1.0)
+        loc = float(_get(1, "loc", 0.0) or 0.0)
+        scale = float(_get(2, "scale", 1.0) or 1.0)
+        if s <= 0 or scale <= 0:
+            raise ValueError("lognorm s and scale must be positive")
+
+        def _cdf(x):
+            x = np.asarray(x, float)
+            z = np.where(x > loc, (x - loc) / scale, np.nan)
+            out = 1.0 - 0.5 * erfcc_np(np.log(np.where(np.isnan(z), 1.0, z)) / (s * math.sqrt(2.0)))
+            return np.where(np.isnan(z), 0.0, out)
+
+        return _cdf
+    raise ValueError(
+        f"unsupported distribution {distribution!r}; "
+        "supported: norm, uniform, expon, lognorm"
+    )
+
+
 def kl_divergence(pk, qk) -> float:
     """KL(pk || qk) in nats over aligned categorical weights.
 

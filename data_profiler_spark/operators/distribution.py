@@ -261,6 +261,184 @@ def c_ks_test(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConst
     return CompiledConstraint(constraint=constraint, agg_terms=terms, verdict_fn=verdict)
 
 
+def ks_test_parameterized(
+    df: DataFrame,
+    colname: str,
+    distribution: str,
+    params,
+    group_by: list[str] | None = None,
+    partitions: int | None = None,
+) -> dict[tuple, tuple[float, float, int]]:
+    """EXACT one-sample Kolmogorov-Smirnov test against a parameterized CDF,
+    computed DISTRIBUTED (the reference defers to pandas scipy.kstest on a
+    driver-collected column, column_parameterized_distribution_ks_test_p_value.py:43-64).
+
+    Plan (scales to any N — no driver collect of values):
+      1. project the (group, value) column, range-partition BY (group,
+         value) and sort within partitions — Spark's distributed sort;
+         equal keys land in one partition, so tie blocks never split;
+      2. job A: per-(partition, group) row counts -> cumulative offsets
+         (driver-bounded: P x G scalars);
+      3. job B: one `mapInPandas` pass over the SAME cached sorted data —
+         each row's global per-group rank i = offset + local running count;
+         D candidates max(i/n - F(x), F(x) - (i-1)/n) reduced per
+         partition, then per group on the driver (P x G scalars).
+
+    Returns {group_key: (d, p, n)}; p via the asymptotic Kolmogorov
+    distribution with Stephens' correction (`stats.ks_1samp_p`; scipy's
+    exact small-n mode can differ slightly — documented deviation).
+    """
+    import pandas as pd
+
+    group_by = list(group_by or [])
+    cdf = stats.parameterized_cdf(distribution, params)
+    c = F.col(colname).cast("double")
+    vals = df.select(
+        *[F.col(k) for k in group_by], c.alias("__v")
+    ).where(c.isNotNull() & ~F.isnan(c))
+    P = partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = (
+        vals.repartitionByRange(P, *(group_by + ["__v"]))
+        .sortWithinPartitions(*(group_by + ["__v"]))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counted = parts.groupBy("__pid", *group_by).count().collect()
+        per_pid: dict[tuple, dict[int, int]] = {}
+        n_by_group: dict[tuple, int] = {}
+        for r in counted:
+            g = tuple(r[k] for k in group_by)
+            per_pid.setdefault(g, {})[r["__pid"]] = int(r["count"])
+            n_by_group[g] = n_by_group.get(g, 0) + int(r["count"])
+        offsets: dict[tuple, int] = {}  # (gkey, pid) -> rows of gkey before pid
+        for g, pids in per_pid.items():
+            acc = 0
+            for pid in sorted(pids):
+                offsets[(g, pid)] = acc
+                acc += pids[pid]
+
+        out_schema = ", ".join(
+            [f"`{k}` string" for k in group_by] + ["d double"]
+        ) if group_by else "d double"
+
+        def scan(batches):
+            import numpy as np
+
+            counters: dict[tuple, int] = {}
+            best: dict[tuple, float] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pid = int(pdf["__pid"].iloc[0])
+                if group_by:
+                    gvals = list(zip(*[pdf[k] for k in group_by]))
+                else:
+                    gvals = [()] * len(pdf)
+                x = pdf["__v"].to_numpy(dtype=float)
+                fx = np.asarray(cdf(x), dtype=float)
+                # segment the batch by group key (sorted -> contiguous)
+                start = 0
+                while start < len(pdf):
+                    g = tuple(map(str, gvals[start])) if group_by else ()
+                    end = start
+                    while end < len(pdf) and (
+                        (tuple(map(str, gvals[end])) if group_by else ()) == g
+                    ):
+                        end += 1
+                    n = n_by_group.get(g, 0)
+                    if n > 0:
+                        base = counters.get(g, offsets.get((g, pid), 0))
+                        i = np.arange(base + 1, base + 1 + (end - start), dtype=float)
+                        seg = fx[start:end]
+                        d_seg = max(
+                            float(np.max(i / n - seg)),
+                            float(np.max(seg - (i - 1.0) / n)),
+                        )
+                        best[g] = max(best.get(g, 0.0), d_seg)
+                        counters[g] = base + (end - start)
+                    start = end
+            rows = [
+                (list(g) + [d]) if group_by else [d] for g, d in best.items()
+            ]
+            cols = group_by + ["d"] if group_by else ["d"]
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {k: [] for k in cols}
+            )
+
+        cand = parts.mapInPandas(scan, out_schema).collect()
+    finally:
+        parts.unpersist()
+
+    result: dict[tuple, tuple[float, float, int]] = {}
+    for r in cand:
+        g = tuple(str(r[k]) for k in group_by) if group_by else ()
+        d = float(r["d"])
+        if g not in result or d > result[g][0]:
+            result[g] = (d, 0.0, 0)
+    for g, (d, _, _) in list(result.items()):
+        n = n_by_group.get(g, 0)
+        result[g] = (d, stats.ks_1samp_p(d, n), n)
+    for g, n in n_by_group.items():
+        result.setdefault(g, (0.0, 1.0, n))
+    return result
+
+
+@register("expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than")
+def c_parameterized_ks(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: column_parameterized_distribution_ks_test_p_value.py:43-64
+    (pandas-only scipy.kstest) — rebuilt as the distributed exact KS above.
+    kwargs: column, distribution, params (dict or scipy positional list),
+    p_value threshold (default 0.05)."""
+    kw = constraint.kwargs
+    colname = kw["column"]
+    distribution = kw["distribution"]
+    p_threshold = float(kw.get("p_value", 0.05))
+    if not 0.0 < p_threshold < 1.0:
+        raise ValueError("p_value must be between 0 and 1 exclusive")
+    stats.parameterized_cdf(distribution, kw.get("params") or {})  # validate early
+    ks_a = metric_alias(
+        "column.parameterized_ks", column=colname, dist=distribution,
+        params=str(kw.get("params")),
+    )
+
+    def post_pass(frame: DataFrame, group_by: list[str], groups):
+        res = ks_test_parameterized(
+            frame, colname, distribution, kw.get("params") or {}, group_by
+        )
+        if not group_by:
+            return {(): {ks_a: res.get((), (0.0, 1.0, 0))}}
+        # group keys were stringified inside the Arrow pass; map back onto
+        # the fused-pass keys by their string form
+        return {
+            g: {ks_a: res[tuple(map(str, g))]}
+            for g, _m in groups
+            if tuple(map(str, g)) in res
+        }
+
+    def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
+        triple = metrics.get(ks_a)
+        if triple is None:
+            return ConstraintResult(
+                constraint_id=constraint.id, constraint_type=constraint.type,
+                kwargs=dict(kw), success=True, group=group, observed_value=None,
+            )
+        d, p, n = triple
+        return ConstraintResult(
+            constraint_id=constraint.id, constraint_type=constraint.type,
+            kwargs=dict(kw),
+            success=bool(p > p_threshold),
+            group=group,
+            observed_value=p,
+            details={"ks_d": d, "n": n},
+        )
+
+    return CompiledConstraint(
+        constraint=constraint, agg_terms=[], verdict_fn=verdict,
+        post_pass_fn=post_pass, post_pass_needs_metrics=True,
+    )
+
+
 @register("expect_column_pair_cramers_phi_value_to_be_less_than")
 def c_cramers_phi(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
     """ref: dataset/dataset.py:4369-4440. Contingency table via ONE

@@ -554,6 +554,39 @@ def q_unexpected_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "value string, n long")
 
 
+_KS_UNIFORM_ORACLE = """
+WITH s AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem WHERE l_quantity IS NOT NULL
+), r AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS i, COUNT(*) OVER () AS n FROM s
+), c AS (
+  SELECT i, n, LEAST(1.0, GREATEST(0.0, (v - 1.0) / 49.0)) AS fx FROM r
+)
+SELECT ROUND(MAX(GREATEST(i * 1.0 / n - fx, fx - (i - 1.0) / n)), 6) AS ks_d,
+       CAST(MAX(n) AS BIGINT) AS n_values
+FROM c
+"""
+
+
+@register_query("ks_quantity_uniform", _KS_UNIFORM_ORACLE)
+def q_ks_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EXACT one-sample KS statistic of l_quantity against
+    uniform(loc=1, scale=49) — range-partitioned sort + offset-based global
+    ranks, no driver collect of values (the reference's version is
+    pandas-only scipy.kstest). The oracle recomputes D with a window over
+    the same CDF; the scipy (min, max-as-scale) positional convention is
+    the reference's (metrics/util.py:534-535)."""
+    from data_profiler_spark.operators.distribution import ks_test_parameterized
+
+    li = _t(spark, sf_dir, "lineitem")
+    d, p, n = ks_test_parameterized(
+        li, "l_quantity", "uniform", {"min": 1.0, "max": 49.0}
+    )[()]
+    return spark.createDataFrame(
+        [(round(d, 6), n)], "ks_d double, n_values long"
+    )
+
+
 # ===========================================================================
 # 2. Text analysis (documents)
 # ===========================================================================

