@@ -36,6 +36,8 @@ HEADLINE = [
     "unexpected_value_counts",
     "text_token_stats",
     "text_quality",
+    "passage_dup_stats",
+    "pii_scrub_counts",
     "dedup_exact_groups",
     "minhash_band_buckets",
     "simhash_docs",

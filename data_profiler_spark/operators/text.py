@@ -136,3 +136,84 @@ def rolling_fingerprint(col: Column, prime: int = 1_000_000_007, base: int = 31)
         F.lit(0).cast("long"),
         lambda acc, t: F.pmod(acc * base + tok_h(t), F.lit(prime)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup (Lee et al. 2022 "Deduplicating Training Data";
+# the hashed sliding-window approximation of exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def passage_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 10,
+    stride: int = 5,
+) -> DataFrame:
+    """Per-document counts of corpus-duplicated passages.
+
+    A passage = ``window`` consecutive whitespace tokens sampled every
+    ``stride`` positions; a passage is duplicated iff its md5 occurs more
+    than once across the WHOLE corpus. All native: tokenizer -> sequence/
+    transform window hashes -> explode -> hash groupBy (shuffle ∝ distinct
+    passages) -> count join back (shuffle join on the hash — bounded by
+    windows, never an all-pairs comparison). Docs shorter than ``window``
+    carry no passages and drop out, mirroring suffix-array min-match-length
+    semantics. ``stride=1`` gives full window-granularity recall (every
+    duplicated span >= window is caught); larger strides trade recall for a
+    1/stride explode factor — a match then requires grid alignment."""
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_PATTERN)
+    base = df.select(F.col(id_col), toks.alias("__ts")).where(
+        F.size("__ts") >= window
+    )
+    wins = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.size("__ts") - window + 1, F.lit(stride)
+                ),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("__ts", i, window))),
+            )
+        ).alias("ph"),
+    )
+    counted = wins.groupBy("ph").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        wins.join(counted, on="ph")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("__c") > 1, 1).otherwise(0)).alias(
+                "n_dup_passages"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII / URL scrubbing (training-data hygiene; native regexp, no UDF)
+# ---------------------------------------------------------------------------
+
+# Deliberately simple patterns expressible identically in Java regex (Spark)
+# and RE2 (DuckDB) so the operator is oracle-checkable.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+IP_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Match counts per PII class on the RAW text."""
+    return {
+        "n_emails": F.regexp_count(col, F.lit(EMAIL_RE)),
+        "n_urls": F.regexp_count(col, F.lit(URL_RE)),
+        "n_ips": F.regexp_count(col, F.lit(IP_RE)),
+    }
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact URLs, then emails, then IPs (URLs may embed '@', so they go
+    first) with stable placeholder tokens."""
+    out = F.regexp_replace(col, URL_RE, "<URL>")
+    out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, IP_RE, "<IP>")

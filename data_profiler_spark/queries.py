@@ -591,6 +591,105 @@ def q_ks_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2. Text analysis (documents)
 # ===========================================================================
 
+_PASSAGE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents
+), wins AS (
+  SELECT doc_id, md5(array_to_string(ts[i:i+9], ' ')) AS ph
+  FROM toks, UNNEST(range(1, len(ts) - 10 + 2, 5)) AS t(i)
+  WHERE len(ts) >= 10
+), counted AS (
+  SELECT ph, COUNT(*) AS c FROM wins GROUP BY ph
+)
+SELECT w.doc_id,
+       COUNT(*) AS n_passages,
+       CAST(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages
+FROM wins w JOIN counted c USING (ph)
+GROUP BY w.doc_id
+HAVING SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) > 0
+"""
+
+
+@register_query("passage_dup_stats", _PASSAGE_ORACLE)
+def q_passage_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (hashed sliding windows — the distributed
+    approximation of suffix-array exact-substring dedup): documents carrying
+    at least one corpus-duplicated 10-token passage."""
+    from data_profiler_spark.operators.text import passage_dup_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return passage_dup_stats(d, "doc_id", "text", window=10, stride=5).where(
+        F.col("n_dup_passages") > 0
+    )
+
+
+_PII_ORACLE = r"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+           WHEN doc_id % 5 = 0 THEN text || ' see https://data.example.org/doc/'
+                || CAST(doc_id AS VARCHAR) || ' next'
+           ELSE text
+         END AS t
+  FROM documents
+), counted AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls,
+         len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+         len(regexp_replace(regexp_replace(regexp_replace(t,
+             'https?://[^\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS clean_len
+  FROM injected
+)
+SELECT doc_id, CAST(n_emails AS INTEGER) AS n_emails,
+       CAST(n_urls AS INTEGER) AS n_urls, CAST(n_ips AS INTEGER) AS n_ips,
+       CAST(clean_len AS INTEGER) AS clean_len
+FROM counted
+WHERE n_emails + n_urls + n_ips > 0
+"""
+
+
+@register_query("pii_scrub_counts", _PII_ORACLE)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL detection + redaction (training-data hygiene), demonstrated
+    on deterministically injected addresses (the synthetic corpus itself is
+    PII-free; both engines inject the same strings, so the oracle is
+    exact)."""
+    from data_profiler_spark.operators.text import pii_counts, scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = (
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), did.cast("string"),
+                F.lit("@example.com or 10.0.0."), (did % 256).cast("string"),
+            ),
+        )
+        .when(
+            did % 5 == 0,
+            F.concat(
+                F.col("text"), F.lit(" see https://data.example.org/doc/"),
+                did.cast("string"), F.lit(" next"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    base = d.select("doc_id", injected.alias("__t"))
+    counts = pii_counts(F.col("__t"))
+    return base.select(
+        "doc_id",
+        counts["n_emails"].cast("int").alias("n_emails"),
+        counts["n_urls"].cast("int").alias("n_urls"),
+        counts["n_ips"].cast("int").alias("n_ips"),
+        F.length(scrub_pii(F.col("__t"))).cast("int").alias("clean_len"),
+    ).where(F.col("n_emails") + F.col("n_urls") + F.col("n_ips") > 0)
+
 @register_query(
     "text_token_stats",
     r"""

@@ -69,3 +69,39 @@ def list_table_partitions(spark: SparkSession, table: str) -> list[dict[str, Any
     except Exception:
         rows = spark.sql(f"SHOW PARTITIONS {table}").collect()
         return [{"partition": r[0]} for r in rows]
+
+
+def list_path_partitions(
+    spark: SparkSession, path: str, format: str = "parquet"
+) -> list[dict[str, str]]:
+    """Hive-style partition discovery straight from the file layout — no
+    catalog required (the third leg next to Iceberg metadata and SHOW
+    PARTITIONS). One metadata-only job: a zero-data-column projection of
+    ``input_file_name`` (column pruning keeps the scan to footers), then
+    the ``key=value`` directory segments are parsed relative to ``path``.
+
+    Returns one sorted dict per distinct partition tuple, e.g.
+    ``[{"lang": "go", "year": "2021"}, ...]`` — the unit the
+    CheckpointRunner iterates."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    df = read_path(spark, path, format=format)
+    files = [
+        r["f"]
+        for r in df.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    parts: set[tuple] = set()
+    for f in files:
+        kv = []
+        for seg in f.split("/")[:-1]:  # directories only
+            if "=" in seg and not seg.startswith("="):
+                k, _, v = seg.partition("=")
+                kv.append((unquote(k), unquote(v)))
+        if kv:
+            parts.add(tuple(kv))
+    return sorted(
+        (dict(kv) for kv in parts),
+        key=lambda d: tuple(sorted(d.items())),
+    )

@@ -1,0 +1,69 @@
+"""Source readers + partition discovery (SURVEY §2.1; ref
+sparkdf_execution_engine.py:319-368 reader registry)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_guess_format_and_read_path(spark, tmp_path):
+    from data_profiler_spark.sources.readers import (
+        guess_format_from_path,
+        read_path,
+    )
+
+    assert guess_format_from_path("a/b.csv") == "csv"
+    assert guess_format_from_path("a/b.tsv") == "csv"
+    assert guess_format_from_path("a/b.jsonl") == "json"
+    assert guess_format_from_path("a/b.parquet") == "parquet"
+    with pytest.raises(ValueError):
+        guess_format_from_path("a/b.unknown")
+
+    csv = tmp_path / "t.csv"
+    csv.write_text("id,name\n1,alpha\n2,beta\n")
+    got = read_path(spark, str(csv)).collect()
+    assert len(got) == 2 and got[0]["name"] in ("alpha", "beta")
+
+    tsv = tmp_path / "t.tsv"
+    tsv.write_text("id\tname\n1\talpha\n")
+    assert read_path(spark, str(tsv)).columns == ["id", "name"]
+
+    jl = tmp_path / "t.jsonl"
+    jl.write_text('{"a": 1}\n{"a": 2}\n')
+    assert read_path(spark, str(jl)).agg({"a": "sum"}).first()[0] == 3
+
+
+def test_list_path_partitions(spark, tmp_path):
+    """Hive-style key=value discovery from the file layout — no catalog."""
+    from data_profiler_spark.sources.readers import list_path_partitions
+
+    df = spark.createDataFrame(
+        [(i, ["go", "py"][i % 2], 2020 + i % 3) for i in range(60)],
+        "id long, lang string, year int",
+    )
+    out = str(tmp_path / "partitioned")
+    df.write.partitionBy("lang", "year").mode("overwrite").parquet(out)
+
+    parts = list_path_partitions(spark, out)
+    assert len(parts) == 6  # 2 langs x 3 years
+    assert {"lang": "go", "year": "2020"} in parts
+    assert all(set(p) == {"lang", "year"} for p in parts)
+    # deterministic ordering (the checkpoint runner's iteration unit)
+    assert parts == sorted(parts, key=lambda d: tuple(sorted(d.items())))
+
+
+def test_show_partitions_fallback(spark, tmp_path):
+    """list_table_partitions falls back to SHOW PARTITIONS when no Iceberg
+    metadata table exists (no jars in-sandbox)."""
+    from data_profiler_spark.sources.readers import list_table_partitions
+
+    loc = str(tmp_path / "tbl")
+    spark.sql("DROP TABLE IF EXISTS dps_part_test")
+    spark.createDataFrame(
+        [(1, "go"), (2, "py"), (3, "go")], "id long, lang string"
+    ).write.partitionBy("lang").option("path", loc).saveAsTable("dps_part_test")
+    try:
+        parts = list_table_partitions(spark, "dps_part_test")
+        assert {p["partition"] for p in parts} == {"lang=go", "lang=py"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dps_part_test")

@@ -191,3 +191,53 @@ def test_simhash_empty_and_determinism(docs):
     }
     assert out[6] == 0  # empty text -> empty fold -> 0
     assert out[0] == out[1] != 0
+
+
+def test_passage_dup_stats(spark):
+    """Planted duplicated passage across two docs; short docs drop out."""
+    from data_profiler_spark.operators.text import passage_dup_stats
+
+    shared = " ".join(f"w{i}" for i in range(10))  # exactly one window
+    rows = [
+        (1, shared + " tail1 a b c d e"),
+        (2, "head x y z q1 " + shared),  # 5-token prefix -> shared aligns to the stride grid (position 6)
+        (3, " ".join(f"u{i}" for i in range(25))),  # unique passages
+        (4, "too short"),  # < window -> no passages
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in passage_dup_stats(df, window=10, stride=5).collect()}
+    assert 4 not in out
+    assert out[1]["n_dup_passages"] >= 1
+    assert out[2]["n_dup_passages"] >= 1
+    assert out[3]["n_dup_passages"] == 0
+    # stride windows: doc3 has 25 tokens -> positions 1,6,11,16 -> 4 passages
+    assert out[3]["n_passages"] == 4
+
+
+def test_pii_scrub(spark):
+    from data_profiler_spark.operators.text import pii_counts, scrub_pii
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@test.org and x@y.io, site https://a.b/c?d=1 ip 10.0.0.1"),
+            (2, "clean text no pii"),
+            (3, "http://plain.example/path only"),
+        ],
+        "id long, t string",
+    )
+    c = pii_counts(F.col("t"))
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id", c["n_emails"].alias("e"), c["n_urls"].alias("u"),
+            c["n_ips"].alias("i"), scrub_pii(F.col("t")).alias("clean"),
+        ).collect()
+    }
+    assert (got[1]["e"], got[1]["u"], got[1]["i"]) == (2, 1, 1)
+    assert "<EMAIL>" in got[1]["clean"] and "<URL>" in got[1]["clean"]
+    assert "<IP>" in got[1]["clean"]
+    assert "@" not in got[1]["clean"].replace("<EMAIL>", "")
+    assert (got[2]["e"], got[2]["u"], got[2]["i"]) == (0, 0, 0)
+    assert got[2]["clean"] == "clean text no pii"
+    assert got[3]["u"] == 1 and got[3]["clean"] == "<URL> only"
