@@ -75,3 +75,103 @@ def streaming_map_violations(
 ) -> DataFrame:
     """Filter a stream down to constraint-violating rows (append mode)."""
     return stream.where(unexpected_condition)
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom STATEFUL operator: per-user sessionization via
+    ``applyInPandasWithState`` with an event-time timeout.
+
+    State per user = (session_start, last_ts, n_events). A micro-batch's
+    events extend the open session or close it when the gap threshold is
+    exceeded (emitting the closed row immediately); when the watermark
+    passes last_ts + gap with no new events, the timeout fires and the
+    session closes. This is the streaming twin of the batch lag-window
+    sessionization (queries.py events_sessionization) and the pattern for
+    any custom stateful operator the built-in windowed aggs can't express.
+
+    Scale: state is O(open sessions); the watermark bounds it — late rows
+    beyond it are dropped by the engine before reaching the function.
+    """
+    import datetime as _dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_sec = _parse_duration_sec(gap)
+
+    if stream.schema[time_col].dataType.typeName() != "timestamp":
+        stream = stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    events = stream.select(user_col, time_col).withWatermark(time_col, watermark)
+
+    out_schema = (
+        f"{user_col} string, session_start timestamp, session_end timestamp, "
+        "n_events long"
+    )
+    state_schema = "start long, last long, n long"
+
+    def fn(key, batches, state: GroupState):
+        (user,) = key
+        sessions = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                sessions.append((user, start, last, n))
+                state.remove()
+        else:
+            ts: list[float] = []
+            for pdf in batches:
+                ts.extend(
+                    t.timestamp() for t in pd.to_datetime(pdf[time_col])
+                )
+            ts.sort()
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = None, None, 0
+            for t in ts:
+                t = float(t)
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_sec:
+                    sessions.append((user, start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = max(last, t), n + 1
+            if start is not None:
+                state.update((int(start), int(last), int(n)))
+                # close via event-time timeout once the watermark passes
+                # last + gap
+                state.setTimeoutTimestamp(int((last + gap_sec) * 1000))
+        rows = [
+            (
+                u,
+                _dt.datetime.utcfromtimestamp(s),
+                _dt.datetime.utcfromtimestamp(e),
+                int(n),
+            )
+            for (u, s, e, n) in sessions
+        ]
+        yield pd.DataFrame(
+            rows, columns=[user_col, "session_start", "session_end", "n_events"]
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _parse_duration_sec(s: str) -> float:
+    n, unit = s.split()
+    unit = unit.rstrip("s")
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
+    return float(n) * mult

@@ -172,6 +172,70 @@ def test_streaming_profile(spark, tmp_path):
     assert all(r["value__mean"] is not None for r in rows)
 
 
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-batch gap closure AND
+    event-time-timeout closure across micro-batches."""
+    import datetime as dt
+
+    from data_profiler_spark.streaming.profile_stream import streaming_sessionize
+
+    src = str(tmp_path / "sess_src")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, "user_id string, ts timestamp").write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: user a has TWO sessions split by a >30min in-batch gap;
+    # user b has one open session
+    write_batch(
+        [
+            ("a", t0),
+            ("a", t0 + dt.timedelta(minutes=5)),
+            ("a", t0 + dt.timedelta(minutes=90)),  # gap 85min -> new session
+            ("b", t0 + dt.timedelta(minutes=10)),
+        ],
+        "b1",
+    )
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    sess = streaming_sessionize(
+        stream, "user_id", "ts", gap="30 minutes", watermark="10 minutes"
+    )
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql("SELECT * FROM sessions_out").collect()
+        # a's first session closes by the in-batch gap; b's closes by
+        # timeout in the follow-up trigger (batch-1 watermark t0+80min is
+        # already past b's last_ts + gap). a's second stays open.
+        assert {(r["user_id"], r["n_events"]) for r in first} == {("a", 2), ("b", 1)}
+        # batch 2: much later event advances the watermark past
+        # last_ts + gap for a's 2nd session and b's session -> timeouts fire
+        write_batch([("c", t0 + dt.timedelta(hours=6))], "b2")
+        q.processAllAvailable()
+        # one more batch so timeouts scheduled at watermark W fire
+        write_batch([("c", t0 + dt.timedelta(hours=7))], "b3")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sessions_out").collect()
+    finally:
+        q.stop()
+    got = {(r["user_id"], r["n_events"]) for r in rows}
+    assert ("a", 2) in got      # in-batch gap closure
+    assert ("a", 1) in got      # timeout closure of a's second session
+    assert ("b", 1) in got      # timeout closure of b's session
+    a2 = [r for r in rows if r["user_id"] == "a" and r["n_events"] == 2][0]
+    assert a2["session_start"] == t0
+    assert a2["session_end"] == t0 + dt.timedelta(minutes=5)
+
+
 def test_autoprofile_suite(typed_small):
     from data_profiler_spark.operators.autoprofile import build_suite_from_profile
     from data_profiler_spark.operators.profile import profile
