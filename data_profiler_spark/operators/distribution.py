@@ -220,6 +220,7 @@ def c_chisquare(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledCon
 
 
 @register("expect_column_ks_test_p_value_to_be_greater_than")
+@register("expect_column_bootstrapped_ks_test_p_value_to_be_greater_than")
 def c_ks_test(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
     """Sketch-based KS test vs an expected continuous partition.
 
@@ -228,7 +229,10 @@ def c_ks_test(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConst
     at 100 TB. Ours compares the observed histogram (computed in the fused
     pass on the expected bins) against the expected weights with the
     asymptotic two-sample KS p-value; ``baseline_n`` is the sample size the
-    expected partition was built from (defaults to the observed n)."""
+    expected partition was built from (defaults to the observed n). Also
+    registered under the reference's ``bootstrapped`` name (its
+    ``bootstrap_samples``/``bootstrap_sample_size`` kwargs are accepted and
+    ignored — the sketch comparison replaces resampling)."""
     kw = constraint.kwargs
     colname = kw["column"]
     po = kw["partition_object"]

@@ -236,6 +236,31 @@ def c_not_like(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledCons
     return _std_map(constraint, df, ~F.col(kw["column"]).like(kw["like_pattern"]))
 
 
+@register("expect_column_values_to_match_like_pattern_list")
+def c_like_list(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: expect_column_values_to_match_like_pattern_list.py:23-27 —
+    ``match_on`` = "any" (default) or "all"."""
+    kw = constraint.kwargs
+    col = F.col(kw["column"])
+    conds = [col.like(p) for p in kw["like_pattern_list"]]
+    comb = reduce(
+        (lambda a, b: a & b) if kw.get("match_on", "any") == "all"
+        else (lambda a, b: a | b),
+        conds,
+    )
+    return _std_map(constraint, df, comb)
+
+
+@register("expect_column_values_to_not_match_like_pattern_list")
+def c_not_like_list(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
+    """ref: expect_column_values_to_not_match_like_pattern_list — a value is
+    expected iff it matches NONE of the patterns."""
+    kw = constraint.kwargs
+    col = F.col(kw["column"])
+    comb = reduce(lambda a, b: a | b, [col.like(p) for p in kw["like_pattern_list"]])
+    return _std_map(constraint, df, ~comb)
+
+
 @register("expect_column_value_lengths_to_be_between")
 def c_length_between(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
     """ref: column_value_lengths.py:174-207."""
@@ -642,9 +667,13 @@ def c_multicol_sum(constraint: Constraint, df: DataFrame, ctx: dict) -> Compiled
 
 
 @register("expect_select_column_values_to_be_unique_within_record")
+@register("expect_multicolumn_values_to_be_unique")  # ref's deprecated alias
 def c_unique_within_record(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
     """ref: select_column_values_unique_within_record.py:69-83 — distinct
-    values across the row's selected columns (nulls excluded from the check)."""
+    values across the row's selected columns (nulls excluded from the
+    check). Also registered under the reference's deprecated
+    ``expect_multicolumn_values_to_be_unique`` name
+    (expect_multicolumn_values_to_be_unique.py — same semantics)."""
     kw = constraint.kwargs
     arr = F.array(*[F.col(c) for c in kw["column_list"]])
     nn = F.filter(arr, lambda x: x.isNotNull())

@@ -120,3 +120,47 @@ def test_uniqueness_scope_chunk_independent(spark):
         for r in Validator(df).validate(suite_t, group_by=["pid"]).results
     }
     assert tbl == {"p0": 2, "p1": 1, "p2": 1}
+
+
+def test_like_pattern_lists(spark):
+    """ref core set completion: like-pattern lists (match_on any/all) and
+    the deprecated multicolumn-unique / bootstrapped-KS aliases."""
+    from data_profiler_spark.validator import Validator
+
+    df = spark.createDataFrame(
+        [("alpha",), ("beta",), ("alphabet",), (None,)], ["s"]
+    )
+    v = Validator(df)
+    r = v.expect(
+        "expect_column_values_to_match_like_pattern_list",
+        column="s", like_pattern_list=["alpha%", "%eta"],
+    )
+    assert r.unexpected_count == 0 and r.success is True
+    r2 = v.expect(
+        "expect_column_values_to_match_like_pattern_list",
+        column="s", like_pattern_list=["alpha%", "%bet"], match_on="all",
+    )
+    assert r2.unexpected_count == 2  # only 'alphabet' matches both
+    r3 = v.expect(
+        "expect_column_values_to_not_match_like_pattern_list",
+        column="s", like_pattern_list=["%bet"],
+    )
+    assert r3.unexpected_count == 1  # alphabet ends with 'bet'
+
+
+def test_deprecated_aliases(spark, typed_small):
+    from data_profiler_spark.validator import Validator
+
+    df = spark.createDataFrame([(1, 2), (3, 3)], ["a", "b"])
+    r = Validator(df).expect(
+        "expect_multicolumn_values_to_be_unique", column_list=["a", "b"]
+    )
+    assert r.unexpected_count == 1
+    r2 = Validator(typed_small).expect(
+        "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
+        column="floats",
+        partition_object={"bins": [0.0, 7.5, 15.0, 22.5, 30.0],
+                          "weights": [0.25, 0.25, 0.25, 0.25]},
+        p=0.05, bootstrap_samples=1000,
+    )
+    assert r2.success is True
