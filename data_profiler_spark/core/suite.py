@@ -69,3 +69,43 @@ class ConstraintSuite:
             constraints=[Constraint.from_dict(c) for c in d.get("constraints", [])],
             meta=dict(d.get("meta", {})),
         )
+
+    # ---- reference-format (GE ExpectationSuite JSON) interop ----------
+    # A user of the reference can point the engine at their existing suite
+    # files unchanged (expectation_suite.py:45-189 schema:
+    # expectation_suite_name / expectations[{expectation_type, kwargs,
+    # meta}] / meta / evaluation_parameters).
+
+    @staticmethod
+    def from_ge_dict(d: dict[str, Any]) -> "ConstraintSuite":
+        suite = ConstraintSuite(
+            name=d.get("expectation_suite_name", "unnamed"),
+            meta=dict(d.get("meta", {})),
+        )
+        if d.get("evaluation_parameters"):
+            suite.meta["evaluation_parameters"] = dict(d["evaluation_parameters"])
+        for e in d.get("expectations", []):
+            suite.constraints.append(
+                Constraint(type=e["expectation_type"], kwargs=dict(e.get("kwargs", {})))
+            )
+        return suite
+
+    def to_ge_dict(self) -> dict[str, Any]:
+        return {
+            "expectation_suite_name": self.name,
+            "expectations": [
+                {"expectation_type": c.type, "kwargs": dict(c.kwargs), "meta": {}}
+                for c in self.constraints
+            ],
+            "meta": {k: v for k, v in self.meta.items() if k != "evaluation_parameters"},
+            "evaluation_parameters": dict(
+                self.meta.get("evaluation_parameters", {})
+            ),
+        }
+
+    @staticmethod
+    def from_ge_json_file(path: str) -> "ConstraintSuite":
+        import json
+
+        with open(path) as f:
+            return ConstraintSuite.from_ge_dict(json.load(f))

@@ -164,3 +164,43 @@ def test_deprecated_aliases(spark, typed_small):
         p=0.05, bootstrap_samples=1000,
     )
     assert r2.success is True
+
+
+def test_ge_suite_json_interop(spark, tmp_path):
+    """A reference-format ExpectationSuite JSON file loads and validates
+    unchanged (expectation_suite.py:45-189 schema)."""
+    import json
+
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.validator import Validator
+
+    ge = {
+        "expectation_suite_name": "orders_quality",
+        "expectations": [
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "a", "mostly": 0.5}, "meta": {}},
+            {"expectation_type": "expect_column_values_to_be_between",
+             "kwargs": {"column": "a", "min_value": 0, "max_value": 10}},
+            {"expectation_type": "expect_table_row_count_to_equal",
+             "kwargs": {"value": 3}},
+        ],
+        "meta": {"data_profiler_version": "0.0.0"},
+        "evaluation_parameters": {"max_a": 10},
+    }
+    p = tmp_path / "suite.json"
+    p.write_text(json.dumps(ge))
+    suite = ConstraintSuite.from_ge_json_file(str(p))
+    assert suite.name == "orders_quality"
+    assert [c.type for c in suite.constraints] == [
+        e["expectation_type"] for e in ge["expectations"]
+    ]
+    df = spark.createDataFrame([(1,), (5,), (None,)], ["a"])
+    res = Validator(df).validate(suite)
+    assert all(r.success for r in res.results), [
+        (r.constraint_type, r.observed_value) for r in res.results if not r.success
+    ]
+    # round-trip back to the reference shape
+    back = suite.to_ge_dict()
+    assert back["expectation_suite_name"] == "orders_quality"
+    assert back["evaluation_parameters"] == {"max_a": 10}
+    assert back["expectations"][0]["kwargs"] == {"column": "a", "mostly": 0.5}
