@@ -163,6 +163,8 @@ def passage_dup_stats(
     semantics. ``stride=1`` gives full window-granularity recall (every
     duplicated span >= window is caught); larger strides trade recall for a
     1/stride explode factor — a match then requires grid alignment."""
+    from pyspark.sql import Window
+
     toks = F.split(F.trim(F.col(text_col)), TOKEN_PATTERN)
     base = df.select(F.col(id_col), toks.alias("__ts")).where(
         F.size("__ts") >= window
@@ -178,13 +180,19 @@ def passage_dup_stats(
             )
         ).alias("ph"),
     )
-    counted = wins.groupBy("ph").agg(F.count(F.lit(1)).alias("__c"))
+    # ONE scan (a count-join formulation would recompute the tokenize +
+    # hash explode for each side): per-(hash, doc) occurrence counts, then
+    # the corpus-wide total via a window over the hash — each hash's
+    # partition holds only its distinct docs, so the window is tiny and
+    # skew-free — then re-aggregate per doc.
+    per_doc = wins.groupBy("ph", id_col).agg(F.count(F.lit(1)).alias("__k"))
+    total = F.sum("__k").over(Window.partitionBy("ph"))
     return (
-        wins.join(counted, on="ph")
+        per_doc.withColumn("__c", total)
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_passages"),
-            F.sum(F.when(F.col("__c") > 1, 1).otherwise(0)).alias(
+            F.sum("__k").alias("n_passages"),
+            F.sum(F.when(F.col("__c") > 1, F.col("__k")).otherwise(0)).alias(
                 "n_dup_passages"
             ),
         )
