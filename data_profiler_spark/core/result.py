@@ -82,3 +82,65 @@ class SuiteResult:
             "unsuccessful_expectations": evaluated - successful,
             "success_percent": (100.0 * successful / evaluated) if evaluated else None,
         }
+
+    def to_ge_dict(self) -> dict[str, Any]:
+        """Reference-format validation-result dict (see
+        ``suite_result_to_ge_dict``)."""
+        return suite_result_to_ge_dict(self)
+
+
+def _ge_result_fields(r: "ConstraintResult") -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for src, dst in [
+        ("observed_value", "observed_value"),
+        ("element_count", "element_count"),
+        ("unexpected_count", "unexpected_count"),
+        ("unexpected_percent", "unexpected_percent"),
+        ("unexpected_percent_total", "unexpected_percent_total"),
+        ("missing_count", "missing_count"),
+        ("partial_unexpected_list", "partial_unexpected_list"),
+        ("partial_unexpected_counts", "partial_unexpected_counts"),
+        ("unexpected_list", "unexpected_list"),
+    ]:
+        v = getattr(r, src)
+        if v is not None:
+            out[dst] = v
+    if r.details:
+        out["details"] = dict(r.details)
+    return out
+
+
+def suite_result_to_ge_dict(res: "SuiteResult") -> dict[str, Any]:
+    """Reference-format ExpectationSuiteValidationResult dict
+    (core/expectation_validation_result.py: success / results[
+    {expectation_config, success, result, exception_info}] / statistics /
+    meta) — so downstream consumers of the reference's result JSON keep
+    working. Grouped verdicts carry their group under
+    ``expectation_config.meta.group``."""
+    results = []
+    for r in res.results:
+        results.append(
+            {
+                "expectation_config": {
+                    "expectation_type": r.constraint_type,
+                    "kwargs": dict(r.kwargs),
+                    "meta": {"group": dict(r.group)} if r.group else {},
+                },
+                "success": bool(r.success),
+                "result": _ge_result_fields(r),
+                "exception_info": {
+                    "raised_exception": r.exception_info is not None,
+                    "exception_message": r.exception_info,
+                    "exception_traceback": None,
+                },
+            }
+        )
+    return {
+        "success": bool(res.success),
+        "results": results,
+        "statistics": res.statistics,
+        "meta": {
+            "expectation_suite_name": res.suite_name,
+            "suite_fingerprint": res.suite_fingerprint,
+        },
+    }

@@ -204,3 +204,27 @@ def test_ge_suite_json_interop(spark, tmp_path):
     assert back["expectation_suite_name"] == "orders_quality"
     assert back["evaluation_parameters"] == {"max_a": 10}
     assert back["expectations"][0]["kwargs"] == {"column": "a", "mostly": 0.5}
+
+
+def test_ge_validation_result_format(typed_small):
+    """Round-trip: GE suite JSON in -> GE validation-result dict out."""
+    import json
+
+    from data_profiler_spark.validator import Validator
+
+    suite = ConstraintSuite("fmt").add(
+        "expect_column_values_to_be_in_set",
+        column="cat", value_set=["a", "b"],
+    )
+    res = Validator(typed_small).validate(suite, result_format="SUMMARY")
+    ge = res.to_ge_dict()
+    json.dumps(ge)  # fully JSON-serializable
+    assert ge["success"] is False
+    assert ge["statistics"]["evaluated_expectations"] == 1
+    (r,) = ge["results"]
+    assert r["expectation_config"]["expectation_type"] == "expect_column_values_to_be_in_set"
+    assert r["expectation_config"]["kwargs"]["value_set"] == ["a", "b"]
+    assert r["success"] is False
+    assert r["result"]["unexpected_count"] == 8  # the 'c' values
+    assert r["result"]["partial_unexpected_counts"][0]["value"] == "c"
+    assert r["exception_info"]["raised_exception"] is False
