@@ -49,6 +49,8 @@ def ann_topk_bruteforce(
     corpus — the corpus is scanned once, no shuffle of vectors; the only
     shuffle is the per-query top-k (rows = |corpus| x |queries| reduced by
     partial top-k via window over query_id)."""
+    import pandas as pd
+
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
@@ -66,11 +68,30 @@ def ann_topk_bruteforce(
             dot(F.col(vec_col), F.col("__qvec")) / (F.col("__cn") * F.col("__qn")), 6
         ).alias("sim"),
     )
+
+    # map-side PARTIAL top-k before the per-query window: without it the
+    # window exchange shuffles all Q x N scored rows; with it only
+    # P x Q x k survivors move. Running top-k per Arrow batch keeps the
+    # per-partition working set at Q x k rows. Same (sim desc, id asc)
+    # order as the final window, so the result set is identical.
+    def local_topk(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pd.concat([best, pdf]) if best is not None else pdf
+            cur = cur.sort_values(
+                [query_id_col, "sim", id_col], ascending=[True, False, True]
+            )
+            best = cur.groupby(query_id_col, sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    reduced = scored.mapInPandas(local_topk, scored.schema)
+
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("sim"), F.col(id_col)
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        reduced.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "sim", "rank")
     )
