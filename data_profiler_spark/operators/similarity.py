@@ -238,6 +238,8 @@ def ann_topk_ivf(
         .select(query_id_col, "__qvec", "centroid_id")
     )
 
+    import pandas as pd
+
     cand = assigned.withColumn("__cn", norm(F.col(vec_col))).join(
         F.broadcast(probes.withColumn("__qn", norm(F.col("__qvec")))),
         on="centroid_id",
@@ -249,9 +251,24 @@ def ann_topk_ivf(
             dot(F.col(vec_col), F.col("__qvec")) / (F.col("__cn") * F.col("__qn")), 6
         ).alias("sim"),
     )
+
+    # same map-side partial top-k as the brute-force path: the final window
+    # then shuffles P x Q x k survivors instead of every probed candidate
+    def local_topk(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pd.concat([best, pdf]) if best is not None else pdf
+            cur = cur.sort_values(
+                [query_id_col, "sim", id_col], ascending=[True, False, True]
+            )
+            best = cur.groupby(query_id_col, sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    reduced = scored.mapInPandas(local_topk, scored.schema)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        reduced.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "sim", "rank")
     )
