@@ -217,30 +217,44 @@ def parameterized_cdf(distribution: str, params) -> "object":
     p = list(params) if not isinstance(params, dict) else None
 
     def _get(i, name, default=None):
+        # None/absent -> default; an EXPLICIT 0 must flow through to the
+        # <= 0 validation below and raise, not silently become the default
+        # (ADVICE r3: `or 1.0` coerced std_dev=0 to a unit-scale p-value)
         if p is not None:
-            return p[i] if i < len(p) else default
-        v = params.get(name, default)
+            v = p[i] if i < len(p) else None
+        else:
+            v = params.get(name)
         if v is None:
-            raise ValueError(f"{distribution} requires parameter {name!r}")
+            if default is None:
+                raise ValueError(f"{distribution} requires parameter {name!r}")
+            return default
         return v
 
     if distribution == "norm":
-        loc = float(_get(0, "mean", 0.0) or 0.0)
-        scale = float(_get(1, "std_dev", 1.0) or 1.0)
+        loc = float(_get(0, "mean", 0.0))
+        scale = float(_get(1, "std_dev", 1.0))
         if scale <= 0:
             raise ValueError("norm std_dev must be positive")
         return lambda x: 1.0 - 0.5 * erfcc_np(
             (np.asarray(x, float) - loc) / (scale * math.sqrt(2.0))
         )
     if distribution == "uniform":
-        loc = float(_get(0, "min", 0.0) or 0.0)
-        scale = float(_get(1, "max", 1.0) or 1.0)
+        loc = float(_get(0, "min", 0.0))
+        # positional arg 1 IS scipy's scale (span), which the reference's
+        # positional convention historically exposed under the misleading
+        # dict kwarg "max" (metrics/util.py:534-535 — uniform(min=1, max=49)
+        # spans [1, 50]). "scale" is the preferred kwarg; "max" stays as a
+        # documented alias of the SAME value (not an upper bound).
+        if isinstance(params, dict) and params.get("scale") is not None:
+            scale = float(params["scale"])
+        else:
+            scale = float(_get(1, "max", 1.0))
         if scale <= 0:
             raise ValueError("uniform scale must be positive")
         return lambda x: np.clip((np.asarray(x, float) - loc) / scale, 0.0, 1.0)
     if distribution == "expon":
-        loc = float(_get(0, "loc", 0.0) or 0.0)
-        scale = float(_get(1, "scale", 1.0) or 1.0)
+        loc = float(_get(0, "loc", 0.0))
+        scale = float(_get(1, "scale", 1.0))
         if scale <= 0:
             raise ValueError("expon scale must be positive")
         return lambda x: np.where(
@@ -249,9 +263,9 @@ def parameterized_cdf(distribution: str, params) -> "object":
             1.0 - np.exp(-(np.asarray(x, float) - loc) / scale),
         )
     if distribution == "lognorm":
-        s = float(_get(0, "s", 1.0) or 1.0)
-        loc = float(_get(1, "loc", 0.0) or 0.0)
-        scale = float(_get(2, "scale", 1.0) or 1.0)
+        s = float(_get(0, "s", 1.0))
+        loc = float(_get(1, "loc", 0.0))
+        scale = float(_get(2, "scale", 1.0))
         if s <= 0 or scale <= 0:
             raise ValueError("lognorm s and scale must be positive")
 

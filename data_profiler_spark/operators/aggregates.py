@@ -213,6 +213,7 @@ def c_most_common(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledC
     # details carry the flag.
     max_modes = int(kw.get("max_modes", 100))
     mode_a = metric_alias("column.mode_set", column=colname)
+    any_a = metric_alias("column.mode_any_in_set", column=colname)
 
     def post_pass(frame: DataFrame, group_by: list[str], groups):
         from pyspark.sql import Window
@@ -225,21 +226,23 @@ def c_most_common(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledC
         if group_by:
             w = Window.partitionBy(*group_by)
             wr = Window.partitionBy(*group_by).orderBy(F.col(colname))
-            top = (
-                counted.withColumn("__max", F.max("__cnt").over(w))
-                .where(F.col("__cnt") == F.col("__max"))
-                .withColumn("__rn", F.row_number().over(wr))
-                .where(F.col("__rn") <= max_modes + 1)
+            tied = counted.withColumn("__max", F.max("__cnt").over(w)).where(
+                F.col("__cnt") == F.col("__max")
             )
-            rows = top.collect()
+            rows = (
+                tied.withColumn("__rn", F.row_number().over(wr))
+                .where(F.col("__rn") <= max_modes + 1)
+                .collect()
+            )
         else:
             # ungrouped: distributed max + TakeOrdered, no lit(1) window
             mx = counted.agg(F.max("__cnt").alias("m")).first()["m"]
+            tied = (
+                counted.where(F.col("__cnt") == F.lit(mx)) if mx is not None else None
+            )
             rows = (
-                counted.where(F.col("__cnt") == F.lit(mx)).orderBy(F.col(colname))
-                .limit(max_modes + 1)
-                .collect()
-                if mx is not None
+                tied.orderBy(F.col(colname)).limit(max_modes + 1).collect()
+                if tied is not None
                 else []
             )
         out: dict = {}
@@ -248,6 +251,34 @@ def c_most_common(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledC
             out.setdefault(key, {mode_a: []})[mode_a].append(r[colname])
         for key, m in out.items():
             m[mode_a] = sorted(m[mode_a], key=str)
+        if ties_okay:
+            # A truncated sample can MISS an in-set mode that sorted after
+            # the cap (false failure; ADVICE r3) — probe the full tied set
+            # distributed. One extra job, only for groups that truncated.
+            trunc_keys = [
+                k for k, m in out.items() if len(m[mode_a]) > max_modes
+            ]
+            if trunc_keys and tied is not None:
+                probe = tied
+                if group_by:
+                    hit = F.lit(False)
+                    for g in trunc_keys:
+                        eq = F.lit(True)
+                        for k, v in zip(group_by, g):
+                            eq = eq & F.col(k).eqNullSafe(F.lit(v))
+                        hit = hit | eq
+                    probe = probe.where(hit)
+                    for r in (
+                        probe.groupBy(*group_by)
+                        .agg(F.max(F.col(colname).isin(list(vs))).alias("__any"))
+                        .collect()
+                    ):
+                        out[tuple(r[k] for k in group_by)][any_a] = bool(r["__any"])
+                else:
+                    r = probe.agg(
+                        F.max(F.col(colname).isin(list(vs))).alias("__any")
+                    ).first()
+                    out[()][any_a] = bool(r["__any"])
         return out
 
     def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
@@ -257,10 +288,24 @@ def c_most_common(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledC
         if not modes:
             success = True  # vacuous on empty domain
         elif ties_okay:
-            success = any(v in vs for v in modes)
+            # exact under truncation: the probe scanned ALL tied modes
+            success = metrics[any_a] if truncated else any(v in vs for v in modes)
         else:
             # fail closed under truncation: can't prove ALL modes in set
             success = (not truncated) and all(v in vs for v in modes)
+        details: dict[str, Any] = {}
+        if truncated:
+            details["mode_set_truncated"] = True
+            details["hint"] = (
+                f"observed_value holds the first {max_modes} tied modes only; "
+                "raise kwargs['max_modes'] to see more"
+                + (
+                    ""
+                    if ties_okay
+                    else "; ties_okay=False cannot be proven from a sample, "
+                    "so the verdict fails closed"
+                )
+            )
         return ConstraintResult(
             constraint_id=constraint.id,
             constraint_type=constraint.type,
@@ -268,7 +313,7 @@ def c_most_common(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledC
             success=bool(success),
             group=group,
             observed_value=modes,
-            details={"mode_set_truncated": True} if truncated else {},
+            details=details,
         )
 
     return CompiledConstraint(

@@ -288,11 +288,26 @@ def ks_test_parameterized(
          D candidates max(i/n - F(x), F(x) - (i-1)/n) reduced per
          partition, then per group on the driver (P x G scalars).
 
-    Returns {group_key: (d, p, n)}; p via the asymptotic Kolmogorov
-    distribution with Stephens' correction (`stats.ks_1samp_p`; scipy's
-    exact small-n mode can differ slightly — documented deviation).
+    Returns {group_key: (d, p, n)} keyed by the NATIVE group values (as a
+    Spark collect returns them — int stays int); p via the asymptotic
+    Kolmogorov distribution with Stephens' correction (`stats.ks_1samp_p`;
+    scipy's exact small-n mode can differ slightly — documented deviation).
     """
     import pandas as pd
+
+    def _norm(v):
+        # pandas batch value -> the hashable native equivalent of the same
+        # value collected from a Spark Row (np.int64(3) hashes like 3, but
+        # NaN must fold to None and numpy scalars to .item() for floats)
+        if v is None:
+            return None
+        try:
+            if pd.isna(v):
+                return None
+        except (TypeError, ValueError):
+            pass
+        item = getattr(v, "item", None)
+        return item() if callable(item) else v
 
     group_by = list(group_by or [])
     cdf = stats.parameterized_cdf(distribution, params)
@@ -322,8 +337,15 @@ def ks_test_parameterized(
                 offsets[(g, pid)] = acc
                 acc += pids[pid]
 
+        # carry group keys through the scan with their ACTUAL Spark types —
+        # stringified keys silently missed int/date groups (n lookup -> 0,
+        # every segment skipped, vacuous pass; ADVICE r3 high)
         out_schema = ", ".join(
-            [f"`{k}` string" for k in group_by] + ["d double"]
+            [
+                f"`{k}` {parts.schema[k].dataType.simpleString()}"
+                for k in group_by
+            ]
+            + ["d double"]
         ) if group_by else "d double"
 
         def scan(batches):
@@ -344,10 +366,10 @@ def ks_test_parameterized(
                 # segment the batch by group key (sorted -> contiguous)
                 start = 0
                 while start < len(pdf):
-                    g = tuple(map(str, gvals[start])) if group_by else ()
+                    g = tuple(_norm(v) for v in gvals[start]) if group_by else ()
                     end = start
                     while end < len(pdf) and (
-                        (tuple(map(str, gvals[end])) if group_by else ()) == g
+                        (tuple(_norm(v) for v in gvals[end]) if group_by else ()) == g
                     ):
                         end += 1
                     n = n_by_group.get(g, 0)
@@ -376,7 +398,7 @@ def ks_test_parameterized(
 
     result: dict[tuple, tuple[float, float, int]] = {}
     for r in cand:
-        g = tuple(str(r[k]) for k in group_by) if group_by else ()
+        g = tuple(r[k] for k in group_by) if group_by else ()
         d = float(r["d"])
         if g not in result or d > result[g][0]:
             result[g] = (d, 0.0, 0)
@@ -412,13 +434,9 @@ def c_parameterized_ks(constraint: Constraint, df: DataFrame, ctx: dict) -> Comp
         )
         if not group_by:
             return {(): {ks_a: res.get((), (0.0, 1.0, 0))}}
-        # group keys were stringified inside the Arrow pass; map back onto
-        # the fused-pass keys by their string form
-        return {
-            g: {ks_a: res[tuple(map(str, g))]}
-            for g, _m in groups
-            if tuple(map(str, g)) in res
-        }
+        # group keys are native on both sides (same columns, both collected
+        # from Spark), so they match the fused-pass keys directly
+        return {g: {ks_a: res[g]} for g, _m in groups if g in res}
 
     def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
         triple = metrics.get(ks_a)

@@ -92,10 +92,25 @@ def list_path_partitions(
         r["f"]
         for r in df.select(F.input_file_name().alias("f")).distinct().collect()
     ]
+
+    def _strip_scheme(p: str) -> str:
+        if "://" in p:
+            return p.split("://", 1)[1]
+        if p.startswith("file:"):
+            return p[len("file:"):]
+        return p
+
+    # parse key=value segments RELATIVE to `path` — a base directory with
+    # an '=' in a parent segment (e.g. /data/run=5/tbl/) must not inject
+    # spurious keys into every partition dict (ADVICE r3)
+    base = _strip_scheme(path).rstrip("/")
     parts: set[tuple] = set()
     for f in files:
+        rel = _strip_scheme(f)
+        if base and rel.startswith(base + "/"):
+            rel = rel[len(base) + 1 :]
         kv = []
-        for seg in f.split("/")[:-1]:  # directories only
+        for seg in rel.split("/")[:-1]:  # directories only
             if "=" in seg and not seg.startswith("="):
                 k, _, v = seg.partition("=")
                 kv.append((unquote(k), unquote(v)))

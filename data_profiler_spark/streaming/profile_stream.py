@@ -113,15 +113,15 @@ def streaming_sessionize(
         f"{user_col} string, session_start timestamp, session_end timestamp, "
         "n_events long"
     )
-    state_schema = "start long, last long, n long"
+    state_schema = "start long, last long, n long"  # start/last in epoch ms
 
     def fn(key, batches, state: GroupState):
         (user,) = key
         sessions = []
         if state.hasTimedOut:
             if state.exists:
-                start, last, n = state.get
-                sessions.append((user, start, last, n))
+                start_ms, last_ms, n = state.get
+                sessions.append((user, start_ms / 1000.0, last_ms / 1000.0, n))
                 state.remove()
         else:
             ts: list[float] = []
@@ -131,7 +131,8 @@ def streaming_sessionize(
                 )
             ts.sort()
             if state.exists:
-                start, last, n = state.get
+                start_ms, last_ms, n = state.get
+                start, last = start_ms / 1000.0, last_ms / 1000.0
             else:
                 start, last, n = None, None, 0
             for t in ts:
@@ -144,7 +145,10 @@ def streaming_sessionize(
                 else:
                     last, n = max(last, t), n + 1
             if start is not None:
-                state.update((int(start), int(last), int(n)))
+                # millisecond precision in state: int(start) seconds
+                # truncated sub-second event times, skewing both the emitted
+                # bounds and cross-batch gap comparisons (ADVICE r3)
+                state.update((int(round(start * 1000)), int(round(last * 1000)), int(n)))
                 # close via event-time timeout once the watermark passes
                 # last + gap
                 state.setTimeoutTimestamp(int((last + gap_sec) * 1000))

@@ -185,3 +185,27 @@ def test_grouped_validation(typed_small, pdf):
     oracle = pdf.groupby("cat")["ints"].apply(lambda s: s.isna().sum())
     for g in ["a", "b", "c"]:
         assert by_group[g].unexpected_count == int(oracle[g])
+
+
+def test_most_common_ties_okay_truncated_probe(spark):
+    """ADVICE r3: with ties_okay=True and a truncated mode set, an in-set
+    mode sorting AFTER the cap must still pass (exact distributed probe,
+    not the 50-row sample)."""
+    df = spark.range(200).selectExpr("concat('a', lpad(id, 3, '0')) AS v")
+    df = df.union(spark.createDataFrame([("zzz",)], "v string"))
+    # all 201 values tied at count 1; sample of 50 sorted ascending misses
+    # "zzz"
+    r = Validator(df).expect(
+        "expect_column_most_common_value_to_be_in_set",
+        column="v", value_set=["zzz"], ties_okay=True, max_modes=50,
+    )
+    assert r.details.get("mode_set_truncated") is True
+    assert r.success is True  # was a false failure before the probe
+    # and a set that truly contains NO tied mode still fails
+    r2 = Validator(df).expect(
+        "expect_column_most_common_value_to_be_in_set",
+        column="v", value_set=["missing"], ties_okay=True, max_modes=50,
+    )
+    assert r2.success is False
+    # truncation hints name the unlocking knob (VERDICT r3 #10)
+    assert "max_modes" in r2.details.get("hint", "")

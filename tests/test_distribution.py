@@ -225,3 +225,31 @@ def test_drift_baseline_continuous(typed_small):
         p=0.05,
     )
     assert r_diff.success is False
+
+
+def test_parameterized_ks_grouped_int_key(spark):
+    """ADVICE r3 high: an INT group column used to silently produce a
+    vacuous pass (stringified lookup keys never matched the native
+    n_by_group keys -> every segment skipped -> metric absent). Group keys
+    now flow through the scan with their native Spark types."""
+    import numpy as np
+
+    from data_profiler_spark.core.suite import ConstraintSuite
+
+    rng = np.random.default_rng(11)
+    rows = [(0, float(x)) for x in rng.uniform(0, 1, 2000)] + [
+        (3, float(x)) for x in rng.normal(0.5, 0.1, 2000)
+    ]
+    df = spark.createDataFrame(rows, "g int, v double")
+    suite = ConstraintSuite("ks_param_int").add(
+        "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+        column="v", distribution="uniform", params={"min": 0.0, "max": 1.0},
+        p_value=0.05,
+    )
+    res = Validator(df).validate(suite, group_by=["g"])
+    by_g = {r.group["g"]: r for r in res.results}
+    assert by_g[0].success is True and by_g[0].observed_value is not None
+    # the normal-distributed group MUST fail — it passed vacuously pre-fix
+    assert by_g[3].success is False
+    assert by_g[3].details["ks_d"] > 0.1
+    assert by_g[3].details["n"] == 2000

@@ -67,3 +67,19 @@ def test_show_partitions_fallback(spark, tmp_path):
         assert {p["partition"] for p in parts} == {"lang=go", "lang=py"}
     finally:
         spark.sql("DROP TABLE IF EXISTS dps_part_test")
+
+
+def test_list_path_partitions_base_with_equals(spark, tmp_path):
+    """ADVICE r3: an '=' inside the BASE path (e.g. .../run=5/tbl/) must not
+    inject spurious keys — segments are parsed relative to the base."""
+    from data_profiler_spark.sources.readers import list_path_partitions
+
+    base = tmp_path / "run=5" / "tbl"
+    df = spark.createDataFrame(
+        [(i, ["go", "py"][i % 2]) for i in range(20)], "id long, lang string"
+    )
+    df.write.partitionBy("lang").mode("overwrite").parquet(str(base))
+
+    parts = list_path_partitions(spark, str(base))
+    assert len(parts) == 2
+    assert all(set(p) == {"lang"} for p in parts)  # no "run" key leaked

@@ -127,3 +127,33 @@ def test_ks_1samp_p_golden():
     assert 0.2 < p < 0.5  # same regime scipy reports (~0.32 asymp)
     assert stats.ks_1samp_p(0.5, 1000) < 1e-10
     assert stats.ks_1samp_p(0.0, 1000) == pytest.approx(1.0)
+
+
+def test_parameterized_cdf_rejects_zero_scale():
+    """ADVICE r3: an EXPLICIT 0 parameter must hit the positivity check,
+    not be silently coerced to the default by `or`."""
+    from data_profiler_spark.functions import stats as S
+
+    for dist, params in [
+        ("norm", {"mean": 0.0, "std_dev": 0}),
+        ("uniform", {"min": 0.0, "max": 0}),
+        ("expon", {"loc": 0.0, "scale": 0}),
+        ("lognorm", {"s": 0, "loc": 0.0, "scale": 1.0}),
+    ]:
+        with pytest.raises(ValueError):
+            S.parameterized_cdf(dist, params)
+    # absent params still default
+    cdf = S.parameterized_cdf("norm", {})
+    assert float(cdf([0.0])[0]) == pytest.approx(0.5, abs=1e-7)
+
+
+def test_uniform_scale_alias():
+    """uniform's second parameter IS scipy's scale; 'scale' is the honest
+    kwarg, 'max' stays as the reference-compatible alias of the SAME value."""
+    from data_profiler_spark.functions import stats as S
+
+    cdf_max = S.parameterized_cdf("uniform", {"min": 1.0, "max": 49.0})
+    cdf_scale = S.parameterized_cdf("uniform", {"min": 1.0, "scale": 49.0})
+    xs = [1.0, 25.0, 50.0]
+    assert list(cdf_max(xs)) == list(cdf_scale(xs))
+    assert float(cdf_max([50.0])[0]) == 1.0  # spans [1, 50], not [1, 49]
