@@ -186,18 +186,46 @@ def build_suite_from_profile(
         )
         if cp.mean_v is not None and numeric_ok and not cp.is_length_profile:
             span = (cp.max_v - cp.min_v) or 1.0
+            slack = numeric_slack * span
             add(
                 "expect_column_min_to_be_between", column=colname,
-                min_value=cp.min_v - numeric_slack * span, max_value=cp.min_v + numeric_slack * span,
+                min_value=cp.min_v - slack, max_value=cp.min_v + slack,
             )
             add(
                 "expect_column_max_to_be_between", column=colname,
-                min_value=cp.max_v - numeric_slack * span, max_value=cp.max_v + numeric_slack * span,
+                min_value=cp.max_v - slack, max_value=cp.max_v + slack,
             )
             add(
                 "expect_column_mean_to_be_between", column=colname,
-                min_value=cp.mean_v - numeric_slack * span, max_value=cp.mean_v + numeric_slack * span,
+                min_value=cp.mean_v - slack, max_value=cp.mean_v + slack,
             )
+            # median / stdev / pinned quantiles — the reference pins all
+            # three for numeric columns (basic_dataset_profiler.py:180-207:
+            # median_to_be_between, stdev_to_be_between,
+            # quantile_values_to_be_between at [.05,.25,.5,.75,.95]), all
+            # wired to the profile's existing sketch (no extra jobs)
+            if cp.stddev_v is not None:
+                add(
+                    "expect_column_stdev_to_be_between", column=colname,
+                    min_value=max(0.0, cp.stddev_v - slack),
+                    max_value=cp.stddev_v + slack,
+                )
+            if cp.quantiles:
+                qs = list(cp.quantile_qs or [])
+                if 0.5 in qs:
+                    med = cp.quantiles[qs.index(0.5)]
+                    add(
+                        "expect_column_median_to_be_between", column=colname,
+                        min_value=med - slack, max_value=med + slack,
+                    )
+                add(
+                    "expect_column_quantile_values_to_be_between",
+                    column=colname,
+                    quantile_ranges={
+                        "quantiles": qs,
+                        "value_ranges": [[v - slack, v + slack] for v in cp.quantiles],
+                    },
+                )
         if cp.is_length_profile and cp.max_v is not None and (
             semantics is None or "STRING" in semantics
         ):

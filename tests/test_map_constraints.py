@@ -316,6 +316,16 @@ def test_result_format_ladder(spark):
     ).results[0]
     assert small.partial_unexpected_list == ["zz", "zz", "zz"]
 
+    # COMPLETE under the cap: no truncation note
+    assert not (complete.details or {}).get("unexpected_list_truncated")
+    # COMPLETE above the cap: truncation flagged with the unlocking knob
+    capped = Validator(df).validate(
+        suite, result_format="COMPLETE", complete_limit=4
+    ).results[0]
+    assert len(capped.unexpected_list) == 4
+    assert capped.details["unexpected_list_truncated"] is True
+    assert "complete_limit" in capped.details["hint"]
+
 
 def test_result_format_grouped(spark):
     from data_profiler_spark.core.suite import ConstraintSuite

@@ -436,3 +436,39 @@ def test_kmeans_large_c_path_no_driver_collect(spark, monkeypatch):
     assert [r[0] for r in ck_rows] == [r[0] for r in drv_rows]
     for (_, va), (_, vb) in zip(ck_rows, drv_rows):
         assert va == pytest.approx(vb, abs=1e-9)
+
+
+def test_autoprofile_numeric_pinned_stats(typed_small):
+    """VERDICT r3 #9: the reference pins median / stdev / quantile values
+    at [.05,.25,.5,.75,.95] for numeric columns
+    (basic_dataset_profiler.py:180-207) — the auto suite must emit all
+    three from the existing profile sketch and pass self-validation."""
+    from data_profiler_spark.operators.autoprofile import build_suite_from_profile
+    from data_profiler_spark.operators.profile import profile
+    from data_profiler_spark.validator import Validator
+
+    (tp,) = profile(
+        typed_small, columns=["ints", "floats"], approx_distinct=False
+    )
+    suite = build_suite_from_profile(tp)
+    by_type: dict[str, list] = {}
+    for c in suite.constraints:
+        by_type.setdefault(c.type, []).append(c.kwargs)
+    for t in [
+        "expect_column_min_to_be_between",
+        "expect_column_max_to_be_between",
+        "expect_column_mean_to_be_between",
+        "expect_column_stdev_to_be_between",
+        "expect_column_median_to_be_between",
+        "expect_column_quantile_values_to_be_between",
+    ]:
+        assert {k["column"] for k in by_type[t]} == {"ints", "floats"}, t
+    qr = by_type["expect_column_quantile_values_to_be_between"][0][
+        "quantile_ranges"
+    ]
+    assert qr["quantiles"] == [0.05, 0.25, 0.5, 0.75, 0.95]
+    assert len(qr["value_ranges"]) == 5
+    assert all(lo <= hi for lo, hi in qr["value_ranges"])
+    res = Validator(typed_small).validate(suite)
+    failed = [r for r in res.results if not r.success]
+    assert failed == [], [(r.constraint_type, r.kwargs) for r in failed]
