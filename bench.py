@@ -32,6 +32,7 @@ HEADLINE = [
     "increasing_violations",
     "zscore_outliers",
     "chi2_lang_stat",
+    "cramers_v_partkey_returnflag",
     "ks_quantity_uniform",
     "unexpected_value_counts",
     "text_token_stats",

@@ -90,22 +90,33 @@ class CheckpointRunner:
                 v = Validator(part, tables=tables)
                 suite_result = v.validate(suite, group_by=[partition_col])
 
-                samples = v.violation_samples(
-                    suite,
-                    limit=self.violation_limit,
-                    only_failed_of=suite_result,
-                    key_columns=(
-                        [partition_col] + violation_key_columns
-                        if violation_key_columns
-                        else None
-                    ),
-                )
                 sampled: dict[tuple[str, str], list[dict[str, Any]]] = {}
-                for cid, sdf in samples.items():
-                    for row in sdf.collect():
+                if violation_key_columns:
+                    # shared schema -> ALL constraints' samples in one job
+                    # (violation_samples_unioned): 1 driver round-trip per
+                    # chunk instead of one per failed constraint
+                    udf = v.violation_samples_unioned(
+                        suite,
+                        limit=self.violation_limit,
+                        only_failed_of=suite_result,
+                        key_columns=[partition_col] + violation_key_columns,
+                    )
+                    for row in udf.collect() if udf is not None else []:
                         d = row.asDict(recursive=True)
+                        cid = d.pop("constraint_id")
                         pid = str(d.get(partition_col))
                         sampled.setdefault((cid, pid), []).append(d)
+                else:
+                    samples = v.violation_samples(
+                        suite,
+                        limit=self.violation_limit,
+                        only_failed_of=suite_result,
+                    )
+                    for cid, sdf in samples.items():
+                        for row in sdf.collect():
+                            d = row.asDict(recursive=True)
+                            pid = str(d.get(partition_col))
+                            sampled.setdefault((cid, pid), []).append(d)
 
                 now = int(time.time() * 1000)
                 chunk_ms = int((time.time() - t_chunk) * 1000)

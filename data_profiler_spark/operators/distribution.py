@@ -663,24 +663,28 @@ def sparse_chi2_cramers(
         frame.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
         .groupBy(*gb, a_col, b_col)
         .agg(F.count(F.lit(1)).alias("__o"))
+        .persist()  # 4 consumers (ra/cb/tot/join) — one input scan, not four
     )
-    ra = cells.groupBy(*gb, a_col).agg(F.sum("__o").alias("__ra"))
-    cb = cells.groupBy(*gb, b_col).agg(F.sum("__o").alias("__cb"))
-    tot = cells.groupBy(*gb).agg(F.sum("__o").alias("__n"))
-    j = cells.join(ra, gb + [a_col]).join(cb, gb + [b_col])
-    j = j.join(tot, gb) if gb else j.crossJoin(tot)
-    e = F.col("__ra") * F.col("__cb") / F.col("__n")
-    term = (F.col("__o") - e) ** 2 / e - e
-    per_group = (
-        j.groupBy(*gb)
-        .agg(
-            F.max("__n").alias("n"),
-            F.sum(term).alias("s"),
-            F.countDistinct(F.col(a_col)).alias("ka"),
-            F.countDistinct(F.col(b_col)).alias("kb"),
+    try:
+        ra = cells.groupBy(*gb, a_col).agg(F.sum("__o").alias("__ra"))
+        cb = cells.groupBy(*gb, b_col).agg(F.sum("__o").alias("__cb"))
+        tot = cells.groupBy(*gb).agg(F.sum("__o").alias("__n"))
+        j = cells.join(ra, gb + [a_col]).join(cb, gb + [b_col])
+        j = j.join(tot, gb) if gb else j.crossJoin(tot)
+        e = F.col("__ra") * F.col("__cb") / F.col("__n")
+        term = (F.col("__o") - e) ** 2 / e - e
+        per_group = (
+            j.groupBy(*gb)
+            .agg(
+                F.max("__n").alias("n"),
+                F.sum(term).alias("s"),
+                F.countDistinct(F.col(a_col)).alias("ka"),
+                F.countDistinct(F.col(b_col)).alias("kb"),
+            )
+            .collect()
         )
-        .collect()
-    )
+    finally:
+        cells.unpersist()
     out: dict[tuple, dict[str, float]] = {}
     for r in per_group:
         g = tuple(r[k] for k in gb) if gb else ()

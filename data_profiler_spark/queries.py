@@ -1196,3 +1196,64 @@ def q_north_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition_id int, constraint_type string, success boolean, "
         "element_count long, unexpected_count long",
     )
+
+
+# ===========================================================================
+# 12. Sparse distributed Cramer's V (NEW r4): chi-square over a contingency
+#     table that is never materialized — marginal joins + one reduction
+# ===========================================================================
+
+@register_query(
+    "cramers_v_partkey_returnflag",
+    """
+WITH cells AS (
+  SELECT l_partkey AS a, l_returnflag AS b, CAST(COUNT(*) AS DOUBLE) AS o
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1, 2
+),
+ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
+cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY b),
+tot AS (SELECT SUM(o) AS n FROM cells),
+stat AS (
+  SELECT MAX(t.n) AS n,
+         MAX(t.n) + SUM(
+           (c.o - r.ra * m.cb / t.n) * (c.o - r.ra * m.cb / t.n)
+             / (r.ra * m.cb / t.n)
+           - r.ra * m.cb / t.n
+         ) AS chi2,
+         (SELECT COUNT(*) FROM ra) AS ka,
+         (SELECT COUNT(*) FROM cb) AS kb
+  FROM cells c
+  JOIN ra r ON r.a = c.a
+  JOIN cb m ON m.b = c.b
+  CROSS JOIN tot t
+)
+SELECT ROUND(SQRT(GREATEST(chi2, 0) / n / (LEAST(ka, kb) - 1)), 6) AS cramers_v,
+       ROUND(chi2, 2) AS chi2_stat,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(ka AS BIGINT) AS ka,
+       CAST(kb AS BIGINT) AS kb
+FROM stat
+""",
+)
+def q_cramers_v_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sparse chi-square / Cramer's V (operators/distribution.py
+    sparse_chi2_cramers; ref dataset/dataset.py:4369-4440 is a pandas-only
+    crosstab): chi2 = n + sum over NONZERO cells of ((o-e)^2/e - e), so the
+    |A| x |B| table never exists anywhere — shuffle is bounded by the
+    nonzero-cell count. Oracle recomputes the identical algebra in SQL."""
+    from data_profiler_spark.operators.distribution import sparse_chi2_cramers
+
+    li = _t(spark, sf_dir, "lineitem")
+    res = sparse_chi2_cramers(li, "l_partkey", "l_returnflag")[()]
+    return spark.createDataFrame(
+        [(
+            round(res["v"], 6),
+            round(res["chi2"], 2),
+            int(res["n"]),
+            int(res["ka"]),
+            int(res["kb"]),
+        )],
+        "cramers_v double, chi2_stat double, n_rows bigint, ka bigint, kb bigint",
+    )

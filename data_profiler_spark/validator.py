@@ -53,9 +53,18 @@ class Validator:
             "tables": tables or {},
             "evaluation_parameters": evaluation_parameters or {},
         }
+        self._compile_cache: dict[str, list[CompiledConstraint]] = {}
 
     # ------------------------------------------------------------------
     def compile(self, suite: ConstraintSuite) -> list[CompiledConstraint]:
+        # memoized per suite fingerprint: validate + unexpected-value
+        # attachment + violation sampling all need the compiled plan, and
+        # rebuilding hundreds of Column expressions is pure driver/py4j
+        # serial cost (part of the F term that caps scaling efficiency)
+        key = suite.fingerprint
+        cached = self._compile_cache.get(key)
+        if cached is not None:
+            return cached
         out: list[CompiledConstraint] = []
         for c in suite.constraints:
             try:
@@ -63,6 +72,7 @@ class Validator:
                 out.append(compile_constraint(resolved, self.df, self.ctx))
             except Exception as exc:  # compile-time failure -> failed verdict
                 out.append(self._failed_compile(c, exc))
+        self._compile_cache[key] = out
         return out
 
     @staticmethod
@@ -335,6 +345,43 @@ class Validator:
                 v = v.select(*key_columns)
             out[c.constraint.id] = deterministic_sample(v, limit)
         return out
+
+    def violation_samples_unioned(
+        self,
+        suite: ConstraintSuite,
+        limit: int = 20,
+        only_failed_of: SuiteResult | None = None,
+        key_columns: list[str] | None = None,
+    ) -> DataFrame | None:
+        """Every constraint's violation sample in ONE Spark job.
+
+        ``violation_samples`` returns one DataFrame per failed constraint —
+        one driver job round-trip each. When ``key_columns`` pins a shared
+        schema, the per-constraint bounded samples (each keeps its own
+        deterministic orderBy+limit) can be tagged with their constraint_id
+        and unioned, so the scheduler runs all sample branches inside one
+        job: K driver round-trips collapse to 1 (a fixed serial cost that
+        caps scaling efficiency at high parallelism; at 100 TB it is also
+        K-1 fewer driver scheduling cycles). Returns None when nothing
+        failed / no extractable constraints."""
+        if not key_columns:
+            raise ValueError(
+                "violation_samples_unioned requires key_columns (a shared "
+                "schema is what makes the samples unionable)"
+            )
+        from functools import reduce as _reduce
+
+        samples = self.violation_samples(
+            suite, limit=limit, only_failed_of=only_failed_of,
+            key_columns=key_columns,
+        )
+        if not samples:
+            return None
+        parts = [
+            sdf.select(F.lit(cid).alias("constraint_id"), *key_columns)
+            for cid, sdf in samples.items()
+        ]
+        return _reduce(lambda a, b: a.unionByName(b), parts)
 
     # ------------------------------------------------------------------
     def head(self, n: int = 5):
