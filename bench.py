@@ -38,8 +38,10 @@ HEADLINE = [
     "text_token_stats",
     "text_quality",
     "passage_dup_stats",
+    "doc_repetition_stats",
     "pii_scrub_counts",
     "dedup_exact_groups",
+    "decontamination_hits",
     "minhash_band_buckets",
     "simhash_docs",
     "embedding_topk",

@@ -320,3 +320,64 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (cross-table n-gram containment)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    corpus: DataFrame,
+    probes: DataFrame,
+    corpus_id: str = "doc_id",
+    probe_id: str = "probe_id",
+    corpus_text: str = "text",
+    probe_text: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    broadcast_probes: bool = True,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: every (corpus doc, probe) pair whose
+    CONTAINMENT |S(doc) ∩ S(probe)| / |S(probe)| of the probe's n-gram
+    shingle set in the document reaches ``threshold`` (the standard
+    train-set / eval-set overlap check for LLM data pipelines; beyond the
+    reference, which has no cross-table text operators).
+
+    Scale plan: the probe side is an eval benchmark — small by
+    construction — so its exploded shingle index is BROADCAST; the corpus
+    explodes once and hash-joins against it. Work is one corpus scan;
+    shuffle is bounded by the (corpus shingle, probe) collisions — never
+    |corpus| x |probes|, and nothing all-pairs. Set
+    ``broadcast_probes=False`` when the probe set outgrows the broadcast
+    threshold (falls back to a shuffle hash join keyed by shingle;
+    correctness identical). Shingle sets are distinct on both sides, so
+    the per-pair join hit count IS the intersection size."""
+    c_sh = corpus.select(
+        F.col(corpus_id),
+        F.explode(shingles(F.col(corpus_text), shingle_n)).alias("s"),
+    )
+    p_arr = probes.select(
+        F.col(probe_id), shingles(F.col(probe_text), shingle_n).alias("sh")
+    ).withColumn("p_sz", F.size("sh"))
+    p_sh = p_arr.select(probe_id, "p_sz", F.explode("sh").alias("s"))
+    if broadcast_probes:
+        p_sh = F.broadcast(p_sh)
+    joined = c_sh.join(p_sh, on="s")
+    if exclude_self:
+        # probes drawn FROM the corpus (same id space): drop doc==probe
+        joined = joined.where(F.col(corpus_id) != F.col(probe_id))
+    hits = joined.groupBy(corpus_id, probe_id, "p_sz").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
+    return (
+        hits.withColumn("containment", F.col("inter") / F.col("p_sz"))
+        .where(F.col("containment") >= threshold)
+        .select(
+            corpus_id,
+            probe_id,
+            "inter",
+            F.round("containment", 6).alias("containment"),
+        )
+    )

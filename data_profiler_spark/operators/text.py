@@ -225,3 +225,49 @@ def scrub_pii(col: Column) -> Column:
     out = F.regexp_replace(col, URL_RE, "<URL>")
     out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(out, IP_RE, "<IP>")
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_cols: list[str] | None = None
+) -> DataFrame:
+    """Gopher/C4-style intra-document repetition signals, fully native
+    (one projection, zero shuffles; beyond the reference — no text ops):
+
+      - ``dup_trigram_frac``: 1 - distinct/total word trigrams (the
+        classic repeated-phrase signal; short docs with < 3 tokens count
+        the whole text as one shingle -> 0);
+      - ``dup_line_frac``: 1 - distinct/total non-empty lines (repeated
+        lines = boilerplate/template signal).
+
+    Scale: pure per-row expressions inside whole-stage codegen; the
+    transform/slice trigram build is the same shape the Jaccard join uses.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    tri = F.when(
+        n_tok >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n_tok - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    lines = F.filter(F.split(c, r"\n"), lambda x: x != F.lit(""))
+    keep = [
+        F.col(k)
+        for k in (
+            id_cols if id_cols is not None
+            else [x for x in df.columns if x != text_col]
+        )
+    ]
+    return df.select(
+        *keep,
+        F.size(tri).cast("long").alias("n_trigrams"),
+        F.round(
+            1.0 - F.size(F.array_distinct(tri)) / F.size(tri), 6
+        ).alias("dup_trigram_frac"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.when(F.size(lines) > 0,
+               F.round(1.0 - F.size(F.array_distinct(lines)) / F.size(lines), 6)
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+    )

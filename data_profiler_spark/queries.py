@@ -1257,3 +1257,93 @@ def q_cramers_v_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         "cramers_v double, chi2_stat double, n_rows bigint, ka bigint, kb bigint",
     )
+
+
+# ===========================================================================
+# 13. Benchmark decontamination (NEW r4): cross-table n-gram containment
+# ===========================================================================
+
+@register_query(
+    "decontamination_hits",
+    r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ts) >= 3
+         THEN [array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)]
+         ELSE [array_to_string(ts, ' ')] END)) AS s
+  FROM toks
+), probe AS (
+  SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % 50 = 0
+), p_sz AS (
+  SELECT probe_id, COUNT(*) AS psz FROM probe GROUP BY probe_id
+), hits AS (
+  SELECT c.doc_id, p.probe_id, COUNT(*) AS inter
+  FROM sh c JOIN probe p ON c.s = p.s AND c.doc_id <> p.probe_id
+  GROUP BY 1, 2
+)
+SELECT h.doc_id, h.probe_id, CAST(h.inter AS BIGINT) AS inter,
+       ROUND(CAST(h.inter AS DOUBLE) / z.psz, 6) AS containment
+FROM hits h JOIN p_sz z USING (probe_id)
+WHERE CAST(h.inter AS DOUBLE) / z.psz >= 0.2
+""",
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval overlap check (operators/dedup.py containment_pairs):
+    probes = every 50th document standing in for an eval benchmark; a hit
+    is a corpus doc containing >= 20% of a probe's trigram shingles. The
+    probe shingle index is broadcast; the corpus explodes once — no
+    all-pairs anywhere. (Beyond the reference: it has no cross-table text
+    operators.)"""
+    from data_profiler_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    probes = d.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("probe_id"), F.col("text")
+    )
+    return containment_pairs(
+        d, probes, corpus_id="doc_id", probe_id="probe_id",
+        corpus_text="text", probe_text="text",
+        shingle_n=3, threshold=0.2, exclude_self=True,
+    ).select(
+        "doc_id", "probe_id", F.col("inter").cast("long").alias("inter"),
+        "containment",
+    )
+
+
+@register_query(
+    "doc_repetition_stats",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ts,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+  FROM documents
+), g AS (
+  SELECT doc_id, ls,
+         CASE WHEN len(ts) >= 3
+              THEN [array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)]
+              ELSE [array_to_string(ts, ' ')] END AS tri
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(tri) AS BIGINT) AS n_trigrams,
+       ROUND(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 6)
+         AS dup_trigram_frac,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       ROUND(CASE WHEN len(ls) > 0
+                  THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+                  ELSE 0 END, 6) AS dup_line_frac
+FROM g
+""",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition quality signals (operators/text.py
+    repetition_features): duplicate-trigram and duplicate-line fractions,
+    pure native expressions in one projection."""
+    from data_profiler_spark.operators.text import repetition_features
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_features(d, "text", id_cols=["doc_id"])

@@ -241,3 +241,55 @@ def test_pii_scrub(spark):
     assert (got[2]["e"], got[2]["u"], got[2]["i"]) == (0, 0, 0)
     assert got[2]["clean"] == "clean text no pii"
     assert got[3]["u"] == 1 and got[3]["clean"] == "<URL> only"
+
+
+def test_containment_pairs_decontamination(spark):
+    """Cross-table n-gram containment (benchmark decontamination): python
+    set oracle on a hand-built corpus; probe side broadcast, no all-pairs."""
+    from data_profiler_spark.operators.dedup import containment_pairs
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over a sleeping cat"),
+        (3, "completely unrelated text about spark physical plans"),
+        (4, "short text"),
+    ]
+    probe_rows = [
+        (100, "quick brown fox jumps over"),   # contained in docs 1 and 2
+        (101, "spark physical plans"),          # 1 trigram, in doc 3
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    probes = spark.createDataFrame(probe_rows, "probe_id long, text string")
+
+    got = {
+        (r["doc_id"], r["probe_id"]): (r["inter"], r["containment"])
+        for r in containment_pairs(
+            corpus, probes, shingle_n=3, threshold=0.5
+        ).collect()
+    }
+
+    def tri(s):
+        t = s.lower().split()
+        if len(t) < 3:
+            return {" ".join(t)}
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    want = {}
+    for did, dtext in corpus_rows:
+        for pid, ptext in probe_rows:
+            inter = len(tri(dtext) & tri(ptext))
+            c = inter / len(tri(ptext))
+            if c >= 0.5:
+                want[(did, pid)] = (inter, round(c, 6))
+    assert got == want
+    assert (1, 100) in got and got[(1, 100)][1] == 1.0  # fully contained
+    assert (3, 101) in got
+    # non-broadcast fallback gives identical results
+    got2 = {
+        (r["doc_id"], r["probe_id"]): (r["inter"], r["containment"])
+        for r in containment_pairs(
+            corpus, probes, shingle_n=3, threshold=0.5,
+            broadcast_probes=False,
+        ).collect()
+    }
+    assert got2 == got
