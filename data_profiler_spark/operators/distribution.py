@@ -659,32 +659,34 @@ def sparse_chi2_cramers(
     per group. Returns {group_key: {"v", "chi2", "n", "ka", "kb"}} with
     ka/kb = observed category counts (the numpy oracle's table shape)."""
     gb = list(group_by or [])
+    # `cells` feeds 4 consumers (ra / cb / tot / the join) inside ONE
+    # query: Catalyst's ReusedExchange computes its shuffle once and reads
+    # it four times (verified: 3 ReusedExchange nodes in the plan). An
+    # explicit persist here was measured STRICTLY WORSE (extra
+    # materialization job + InMemoryRelation blocking exchange reuse:
+    # 13.4s -> 6.7s cold, 1.5s -> 0.17s warm at sf0.1).
     cells = (
         frame.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
         .groupBy(*gb, a_col, b_col)
         .agg(F.count(F.lit(1)).alias("__o"))
-        .persist()  # 4 consumers (ra/cb/tot/join) — one input scan, not four
     )
-    try:
-        ra = cells.groupBy(*gb, a_col).agg(F.sum("__o").alias("__ra"))
-        cb = cells.groupBy(*gb, b_col).agg(F.sum("__o").alias("__cb"))
-        tot = cells.groupBy(*gb).agg(F.sum("__o").alias("__n"))
-        j = cells.join(ra, gb + [a_col]).join(cb, gb + [b_col])
-        j = j.join(tot, gb) if gb else j.crossJoin(tot)
-        e = F.col("__ra") * F.col("__cb") / F.col("__n")
-        term = (F.col("__o") - e) ** 2 / e - e
-        per_group = (
-            j.groupBy(*gb)
-            .agg(
-                F.max("__n").alias("n"),
-                F.sum(term).alias("s"),
-                F.countDistinct(F.col(a_col)).alias("ka"),
-                F.countDistinct(F.col(b_col)).alias("kb"),
-            )
-            .collect()
+    ra = cells.groupBy(*gb, a_col).agg(F.sum("__o").alias("__ra"))
+    cb = cells.groupBy(*gb, b_col).agg(F.sum("__o").alias("__cb"))
+    tot = cells.groupBy(*gb).agg(F.sum("__o").alias("__n"))
+    j = cells.join(ra, gb + [a_col]).join(cb, gb + [b_col])
+    j = j.join(tot, gb) if gb else j.crossJoin(tot)
+    e = F.col("__ra") * F.col("__cb") / F.col("__n")
+    term = (F.col("__o") - e) ** 2 / e - e
+    per_group = (
+        j.groupBy(*gb)
+        .agg(
+            F.max("__n").alias("n"),
+            F.sum(term).alias("s"),
+            F.countDistinct(F.col(a_col)).alias("ka"),
+            F.countDistinct(F.col(b_col)).alias("kb"),
         )
-    finally:
-        cells.unpersist()
+        .collect()
+    )
     out: dict[tuple, dict[str, float]] = {}
     for r in per_group:
         g = tuple(r[k] for k in gb) if gb else ()
