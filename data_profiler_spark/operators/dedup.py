@@ -52,9 +52,19 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as strings (distinct)."""
-    toks = tokens(col)
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) from an ALREADY-MATERIALIZED token
+    array column.
+
+    ``toks`` MUST be a named column (a plain attribute from a previous
+    projection), not an inline ``tokens(text)`` expression: it is referenced
+    here inside ``sequence`` bounds and per-element ``transform`` lambdas,
+    and Catalyst does NOT common-subexpression-eliminate across
+    higher-order-function lambda arguments — an inlined tokenizer would
+    re-split the text once per shingle position (measured 5.4x on the sf0.1
+    corpus explode). CollapseProject keeps a multiply-referenced non-cheap
+    alias materialized, so the two-projection shape evaluates the split
+    exactly once per row."""
     if n <= 1:
         return F.array_distinct(toks)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
@@ -68,12 +78,24 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(col: Column, n_hashes: int = 8, shingle_n: int = 3) -> Column:
-    """Array of n lexicographic-min md5 digests, one per salted permutation.
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings (distinct), tokenizing inline.
+
+    PERF: prefer projecting ``tokens(col)`` into a named column and calling
+    ``shingles_of_tokens`` — inlining re-evaluates the tokenizer per lambda
+    element (no CSE into HOF lambdas). Kept for small/one-shot inputs."""
+    return shingles_of_tokens(tokens(col), n)
+
+
+def minhash_signature_of_shingles(sh: Column, n_hashes: int = 8) -> Column:
+    """Array of n lexicographic-min md5 digests over a MATERIALIZED shingle
+    array column (same named-attribute requirement as
+    ``shingles_of_tokens``: ``sh`` is referenced by ``n_hashes`` independent
+    transform folds, so an inline shingle expression would be rebuilt
+    n_hashes times per row).
 
     min(md5(salt || shingle)) over the shingle set is a uniform min-hash;
     md5 hex ordering is engine-portable (same result in any SQL engine)."""
-    sh = shingles(col, shingle_n)
 
     def salted(i: int):
         # one-arg lambda (a two-arg lambda would bind the array index)
@@ -82,6 +104,11 @@ def minhash_signature(col: Column, n_hashes: int = 8, shingle_n: int = 3) -> Col
     return F.array(
         *[F.array_min(F.transform(sh, salted(i))) for i in range(n_hashes)]
     )
+
+
+def minhash_signature(col: Column, n_hashes: int = 8, shingle_n: int = 3) -> Column:
+    """Inline-tokenizing minhash signature (see perf note on ``shingles``)."""
+    return minhash_signature_of_shingles(shingles(col, shingle_n), n_hashes)
 
 
 def minhash_band_buckets(
@@ -95,8 +122,21 @@ def minhash_band_buckets(
     """(id, band, bucket): LSH bucket per band = md5 of the band's signature
     slice. Docs sharing a bucket in ANY band are near-dup candidates."""
     n_bands = n_hashes // band_size
-    sig = minhash_signature(F.col(text_col), n_hashes, shingle_n)
-    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    # tokenize-once ladder: tokens -> shingles -> signature, each stage a
+    # named projection so no stage re-evaluates inside the next stage's
+    # HOF lambdas (tokens would otherwise run shingle_count x n_hashes
+    # times per row)
+    with_sig = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            shingles_of_tokens(F.col("__toks"), shingle_n).alias("__sh"),
+        )
+        .select(
+            F.col(id_col),
+            minhash_signature_of_shingles(F.col("__sh"), n_hashes).alias("sig"),
+        )
+    )
     bands = F.array(
         *[
             F.struct(
@@ -277,10 +317,16 @@ def jaccard_pairs(
     ``max_df`` (optional) additionally drops shingles in more than that many
     docs from the candidate INDEX only — values stay exact; pairs sharing
     ONLY ultra-common shingles may be missed (documented estimator trade)."""
-    sh_arr = df.select(
-        F.col(id_col),
-        F.sort_array(shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).withColumn("sz", F.size("sh"))
+    sh_arr = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.sort_array(
+                shingles_of_tokens(F.col("__toks"), shingle_n)
+            ).alias("sh"),
+        )
+        .withColumn("sz", F.size("sh"))
+    )
     sh = sh_arr.select(id_col, "sz", F.explode("sh").alias("s"))
 
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("gdf"))
@@ -355,11 +401,16 @@ def containment_pairs(
     correctness identical). Shingle sets are distinct on both sides, so
     the per-pair join hit count IS the intersection size."""
     c_sh = corpus.select(
+        F.col(corpus_id), tokens(F.col(corpus_text)).alias("__toks")
+    ).select(
         F.col(corpus_id),
-        F.explode(shingles(F.col(corpus_text), shingle_n)).alias("s"),
+        F.explode(shingles_of_tokens(F.col("__toks"), shingle_n)).alias("s"),
     )
     p_arr = probes.select(
-        F.col(probe_id), shingles(F.col(probe_text), shingle_n).alias("sh")
+        F.col(probe_id), tokens(F.col(probe_text)).alias("__toks")
+    ).select(
+        F.col(probe_id),
+        shingles_of_tokens(F.col("__toks"), shingle_n).alias("sh"),
     ).withColumn("p_sz", F.size("sh"))
     p_sh = p_arr.select(probe_id, "p_sz", F.explode("sh").alias("s"))
     if broadcast_probes:

@@ -52,7 +52,10 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword quality features + a composite score
     in [0, 1]. One projection, zero shuffles."""
     c = F.col(text_col)
-    toks = tokens(c)
+    # tokenize once into a named column (referenced by size + the stopword
+    # filter below; inline it would split twice per row)
+    df = df.withColumn("__toks", tokens(c))
+    toks = F.col("__toks")
     n_chars = F.length(c)
     n_tokens = F.size(toks)
     stop_arr = F.array(*[F.lit(w) for ws in STOPWORDS.values() for w in ws])
@@ -91,7 +94,7 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + (1.0 - F.least(F.col("digit_ratio") * 4.0, F.lit(1.0))) * 0.15
         + F.least(F.col("stopword_ratio") * 3.0, F.lit(1.0)) * 0.25
     )
-    return out.withColumn("quality_score", F.round(score, 6))
+    return out.withColumn("quality_score", F.round(score, 6)).drop("__toks")
 
 
 def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -99,12 +102,25 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     with the highest stopword-hit count (ties -> 'und'). Pure native
     expressions (array_intersect against broadcast literal arrays)."""
     c = F.col(text_col)
-    toks = F.array_distinct(tokens(c))
-    scores = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
-        for lang, ws in STOPWORDS.items()
-    }
-    langs = list(scores)
+    langs = list(STOPWORDS)
+    # materialize the distinct-token array and per-language hit counts into
+    # named columns: the token array is referenced by |langs| intersects and
+    # each score by 2-3 expressions in the tie-break chain — inlined, the
+    # tokenizer would re-run ~2x|langs| per row (no CSE across references)
+    base = df.select(
+        "*", F.array_distinct(tokens(c)).alias("__toks")
+    ).select(
+        "*",
+        *[
+            F.size(
+                F.array_intersect(
+                    F.col("__toks"), F.array(*[F.lit(w) for w in ws])
+                )
+            ).alias(f"__sc_{lang}")
+            for lang, ws in STOPWORDS.items()
+        ],
+    )
+    scores = {lang: F.col(f"__sc_{lang}") for lang in langs}
     best = F.greatest(*[scores[lang] for lang in langs])
     pred = F.lit("und")
     for lang in reversed(langs):  # earlier langs win ties
@@ -114,8 +130,13 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         .when(best == 0, F.lit("und"))
         .otherwise(pred)
     )
-    return df.withColumn("lang_pred", pred).withColumn(
-        "lang_pred_score", F.when(c.rlike(CJK_REGEX), F.lit(99)).otherwise(best)
+    return (
+        base.withColumn("lang_pred", pred)
+        .withColumn(
+            "lang_pred_score",
+            F.when(c.rlike(CJK_REGEX), F.lit(99)).otherwise(best),
+        )
+        .drop("__toks", *[f"__sc_{lang}" for lang in langs])
     )
 
 
@@ -243,7 +264,21 @@ def repetition_features(
     transform/slice trigram build is the same shape the Jaccard join uses.
     """
     c = F.col(text_col)
-    toks = tokens(c)
+    keep_names = (
+        id_cols if id_cols is not None
+        else [x for x in df.columns if x != text_col]
+    )
+    # tokenize/line-split ONCE into named columns: the trigram transform
+    # references the token array per lambda element and Catalyst does not
+    # CSE into HOF lambdas — inlining tokens(c) here re-splits the text
+    # once per trigram position (VERDICT r4: 10.0s -> 1.85s on the sf0.1
+    # corpus explode from this exact change in the shingle family)
+    base = df.select(
+        *[F.col(k) for k in keep_names],
+        tokens(c).alias("__toks"),
+        F.filter(F.split(c, r"\n"), lambda x: x != F.lit("")).alias("__lines"),
+    )
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     tri = F.when(
         n_tok >= 3,
@@ -252,19 +287,20 @@ def repetition_features(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    lines = F.filter(F.split(c, r"\n"), lambda x: x != F.lit(""))
-    keep = [
-        F.col(k)
-        for k in (
-            id_cols if id_cols is not None
-            else [x for x in df.columns if x != text_col]
-        )
-    ]
-    return df.select(
-        *keep,
-        F.size(tri).cast("long").alias("n_trigrams"),
+    # second materialization: tri is referenced by size() twice and
+    # array_distinct() once below — naming it keeps the transform to one
+    # evaluation per row
+    mid = base.select(
+        *[F.col(k) for k in keep_names],
+        tri.alias("__tri"),
+        F.col("__lines"),
+    )
+    tri_c, lines = F.col("__tri"), F.col("__lines")
+    return mid.select(
+        *[F.col(k) for k in keep_names],
+        F.size(tri_c).cast("long").alias("n_trigrams"),
         F.round(
-            1.0 - F.size(F.array_distinct(tri)) / F.size(tri), 6
+            1.0 - F.size(F.array_distinct(tri_c)) / F.size(tri_c), 6
         ).alias("dup_trigram_frac"),
         F.size(lines).cast("long").alias("n_lines"),
         F.when(F.size(lines) > 0,

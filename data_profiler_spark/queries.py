@@ -48,6 +48,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table with a defensive repartition for CPU-heavy text ops.
+
+    A parquet file written as ONE row group cannot be split — neither
+    ``minPartitionNum`` nor ``maxPartitionBytes`` helps — so the whole
+    corpus would run as a single task regardless of cores (the sf0.1
+    fixture is exactly this shape). When the scan yields fewer splits
+    than cores/4, shuffle once up to full parallelism; at real scale the
+    scan has >> cores splits and this is a no-op. Only used by queries
+    that process the text column (for column-pruned light queries a
+    repartition would force-read the text bytes)."""
+    d = _t(spark, sf_dir, "documents")
+    cores = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < max(2, cores // 4):
+        d = d.repartition(cores)
+    return d
+
+
 # ===========================================================================
 # 1. Fused profile (the flagship): all scalar metrics in ONE pass
 # ===========================================================================
@@ -617,7 +635,7 @@ def q_passage_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     at least one corpus-duplicated 10-token passage."""
     from data_profiler_spark.operators.text import passage_dup_stats
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return passage_dup_stats(d, "doc_id", "text", window=10, stride=5).where(
         F.col("n_dup_passages") > 0
     )
@@ -661,7 +679,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact)."""
     from data_profiler_spark.operators.text import pii_counts, scrub_pii
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     did = F.col("doc_id")
     injected = (
         F.when(
@@ -701,7 +719,7 @@ FROM documents GROUP BY source
 """,
 )
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -722,7 +740,7 @@ FROM documents WHERE len(text) > 0
 """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     c = F.col("text")
     n_chars = F.length(c)
     return d.where(F.length(c) > 0).select(
@@ -748,7 +766,7 @@ FROM documents
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.text import normalized_fingerprint
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select("doc_id", normalized_fingerprint(F.col("text")).alias("fp"))
 
 
@@ -783,7 +801,7 @@ SELECT label, pred, COUNT(*) AS n FROM pred GROUP BY label, pred
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.text import with_language_id
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return (
         with_language_id(d, "text")
         .groupBy(F.col("lang").alias("label"), F.col("lang_pred").alias("pred"))
@@ -805,7 +823,7 @@ FROM documents GROUP BY md5(text)
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.dedup import exact_dup_groups
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return exact_dup_groups(d, "doc_id", "text")
 
 
@@ -835,7 +853,7 @@ FROM sig, (SELECT unnest(range(4)) AS band)
 def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.dedup import minhash_band_buckets
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return minhash_band_buckets(
         d, "doc_id", "text", n_hashes=8, band_size=2, shingle_n=3
     ).select("doc_id", F.col("band").cast("long").alias("band"), "bucket")
@@ -865,7 +883,7 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.dedup import jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return jaccard_pairs(d, "doc_id", "text", shingle_n=1, threshold=0.6)
 
 
@@ -890,7 +908,7 @@ FROM h
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.dedup import simhash
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select("doc_id", simhash(F.col("text"), 32).alias("simhash32"))
 
 
@@ -1299,7 +1317,7 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.)"""
     from data_profiler_spark.operators.dedup import containment_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     probes = d.where(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("probe_id"), F.col("text")
     )
@@ -1345,5 +1363,5 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure native expressions in one projection."""
     from data_profiler_spark.operators.text import repetition_features
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return repetition_features(d, "text", id_cols=["doc_id"])
