@@ -98,23 +98,44 @@ def ann_topk_bruteforce(
 
 
 def kmeans_like_centroids(
-    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    driver_max_centroids: int = 100_000,
 ) -> DataFrame:
     """Deterministic centroid pick: the n lowest-id vectors (a seeded sample
     stand-in; swap for k-means|| when MLlib is allowed). Returned small —
     intended for broadcast.
 
-    centroid_id = dense 0..n-1 rank by id, assigned by collecting the C ids
-    (NOT the vectors) and broadcast-joining the rank back. The previous
-    ``row_number().over(Window.orderBy(id))`` was a global single-task
-    window — bounded at C rows, but C = ceil(N/500) grows linearly with the
-    corpus, so at 10^9 vectors it funnels a 2M-row stage through one task
-    (VERDICT r3 wrong #2). The ids collect is C scalars, driver-bounded."""
+    Physical shape: ONE corpus scan. ``orderBy(id).limit(C)`` compiles to
+    TakeOrderedAndProject — each scan partition keeps only its local top-C,
+    so the merge sees at most P x C rows — and the C (id, vec) rows are
+    collected and re-created with centroid_id = 0..C-1. (The r4 version
+    collected only the C ids then broadcast-joined the rank back against
+    the FULL corpus to fetch the vectors — a second whole-corpus scan per
+    centroid build, ~2x on every IVF query; and it fanned out if ids were
+    not unique. Collecting the pairs is C x dim at the driver — bounded by
+    construction for C = ceil(N/bucket) at any N this engine targets.)
+    Above ``driver_max_centroids`` the distributed rank-join path is used
+    instead: nothing big at the driver, at the price of the extra scan."""
     spark = corpus.sparkSession
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
+    if n_centroids <= driver_max_centroids:
+        rows = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .collect()
+        )
+        return spark.createDataFrame(
+            [(i, list(r[1])) for i, r in enumerate(rows)],
+            f"centroid_id int, centroid_vec {vec_type}",
+        )
     ids = [
         r[0]
-        for r in corpus.select(F.col(id_col)).orderBy(F.col(id_col))
-        .limit(n_centroids).collect()
+        for r in corpus.select(F.col(id_col)).distinct()
+        .orderBy(F.col(id_col)).limit(n_centroids).collect()
     ]
     id_type = corpus.schema[id_col].dataType.simpleString()
     rank = spark.createDataFrame(
@@ -122,7 +143,9 @@ def kmeans_like_centroids(
     )
     return (
         corpus.join(F.broadcast(rank), on=id_col)
-        .select("centroid_id", F.col(vec_col).alias("centroid_vec"))
+        # drop any id-collision fan-out: exactly one vector per centroid_id
+        .groupBy("centroid_id")
+        .agg(F.first(F.col(vec_col)).alias("centroid_vec"))
     )
 
 
