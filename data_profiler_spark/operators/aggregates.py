@@ -261,13 +261,20 @@ def c_most_common(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledC
             if trunc_keys and tied is not None:
                 probe = tied
                 if group_by:
-                    hit = F.lit(False)
-                    for g in trunc_keys:
-                        eq = F.lit(True)
-                        for k, v in zip(group_by, g):
-                            eq = eq & F.col(k).eqNullSafe(F.lit(v))
-                        hit = hit | eq
-                    probe = probe.where(hit)
+                    # broadcast semi-join on the truncated keys, not an
+                    # OR-chain of per-group predicates (an O(G)-deep boolean
+                    # tree chokes Catalyst analysis at high group
+                    # cardinality — ADVICE r4)
+                    spark = frame.sparkSession
+                    kdf = spark.createDataFrame(
+                        [tuple(g) for g in trunc_keys],
+                        frame.select(*group_by).schema,
+                    )
+                    cond = None
+                    for k in group_by:
+                        eq = probe[k].eqNullSafe(kdf[k])
+                        cond = eq if cond is None else cond & eq
+                    probe = probe.join(F.broadcast(kdf), on=cond, how="left_semi")
                     for r in (
                         probe.groupBy(*group_by)
                         .agg(F.max(F.col(colname).isin(list(vs))).alias("__any"))

@@ -729,17 +729,27 @@ def c_cramers_phi(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledC
     ]
 
     def _subset(frame: DataFrame, group_by: list[str], keys: list[tuple], keep: bool):
-        cond = F.lit(False)
-        for g in keys:
-            eq = F.lit(True)
-            for k, v in zip(group_by, g):
-                eq = eq & F.col(k).eqNullSafe(F.lit(v))
-            cond = cond | eq
-        return frame.where(cond if keep else ~cond)
+        # broadcast semi/anti join against the selected-keys table, NOT an
+        # OR-chain of per-group equality predicates: thousands of keys would
+        # build an O(G)-deep Catalyst boolean tree (slow analysis / driver
+        # stack risk at high group cardinality — ADVICE r4)
+        if not group_by:
+            return frame
+        spark = frame.sparkSession
+        kdf = spark.createDataFrame(
+            [tuple(g) for g in keys], frame.select(*group_by).schema
+        )
+        cond = None
+        for k in group_by:
+            eq = frame[k].eqNullSafe(kdf[k])
+            cond = eq if cond is None else cond & eq
+        return frame.join(
+            F.broadcast(kdf), on=cond, how="left_semi" if keep else "left_anti"
+        )
 
     def post_pass(frame: DataFrame, group_by: list[str], groups):
         out: dict = {}
-        dense_keys: list[tuple] = []
+        dense_cand: list[tuple[float, tuple]] = []
         sparse_keys: list[tuple] = []
         for g, metrics in groups:
             cells = 1.1 * float(metrics.get(da_a) or 0) * float(metrics.get(db_a) or 0)
@@ -756,7 +766,21 @@ def c_cramers_phi(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledC
             elif cells > max_cells:
                 sparse_keys.append(g)
             else:
+                dense_cand.append((cells, g))
+        # max_cells bounds the TOTAL driver collect, not just each group:
+        # G groups each near the cap would otherwise collect G x max_cells
+        # rows (ADVICE r4). Smallest tables first (deterministic tie-break);
+        # overflow groups go to the sparse distributed path — same answer,
+        # nothing large at the driver.
+        dense_cand.sort(key=lambda cg: (cg[0], str(cg[1])))
+        dense_keys: list[tuple] = []
+        budget = float(max_cells)
+        for cells, g in dense_cand:
+            if cells <= budget:
                 dense_keys.append(g)
+                budget -= cells
+            else:
+                sparse_keys.append(g)
 
         frame = frame.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
         if dense_keys:

@@ -113,7 +113,14 @@ def streaming_sessionize(
         f"{user_col} string, session_start timestamp, session_end timestamp, "
         "n_events long"
     )
-    state_schema = "start long, last long, n long"  # start/last in epoch ms
+    # Field names carry the unit ON PURPOSE (ADVICE r4): the unit changed
+    # from epoch seconds to epoch milliseconds in r4 while the old schema
+    # ("start long, last long, n long") stayed byte-compatible — a stream
+    # resumed from a pre-r4 checkpoint would silently read seconds as ms
+    # and collapse open sessions to ~1970. Renaming the fields makes
+    # Spark's state-schema compatibility check fail loudly on resume
+    # instead.
+    state_schema = "start_ms long, last_ms long, n long"
 
     def fn(key, batches, state: GroupState):
         (user,) = key

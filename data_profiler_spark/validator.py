@@ -57,11 +57,20 @@ class Validator:
 
     # ------------------------------------------------------------------
     def compile(self, suite: ConstraintSuite) -> list[CompiledConstraint]:
-        # memoized per suite fingerprint: validate + unexpected-value
-        # attachment + violation sampling all need the compiled plan, and
-        # rebuilding hundreds of Column expressions is pure driver/py4j
-        # serial cost (part of the F term that caps scaling efficiency)
-        key = suite.fingerprint
+        # memoized per (suite fingerprint, evaluation-parameter values):
+        # validate + unexpected-value attachment + violation sampling all
+        # need the compiled plan, and rebuilding hundreds of Column
+        # expressions is pure driver/py4j serial cost (part of the F term
+        # that caps scaling efficiency). Compiled constraints embed the
+        # RESOLVED $PARAMETER values (and sticky failed-compile verdicts),
+        # so mutating ctx["evaluation_parameters"] between validate() calls
+        # must miss the cache (ADVICE r4).
+        import json
+
+        params = self.ctx.get("evaluation_parameters") or {}
+        key = suite.fingerprint + "|" + json.dumps(
+            params, sort_keys=True, default=repr
+        )
         cached = self._compile_cache.get(key)
         if cached is not None:
             return cached

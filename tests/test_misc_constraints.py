@@ -36,6 +36,24 @@ def test_evaluation_parameters(typed_small):
     assert res3.results[0].success is False
 
 
+def test_mutated_evaluation_parameters_bust_compile_cache(typed_small):
+    # the compile memo key must include the RESOLVED parameter values:
+    # mutating ctx['evaluation_parameters'] between validate() calls on the
+    # SAME validator must not return a stale plan (ADVICE r4)
+    suite = ConstraintSuite("p3").add(
+        "expect_table_row_count_to_equal", value={"$PARAMETER": "expected_rows"}
+    )
+    v = Validator(typed_small, evaluation_parameters={"expected_rows": 30})
+    assert v.validate(suite).results[0].success is True
+    v.ctx["evaluation_parameters"]["expected_rows"] = 31
+    assert v.validate(suite).results[0].success is False
+    # and an unresolved-parameter failed compile isn't sticky either
+    del v.ctx["evaluation_parameters"]["expected_rows"]
+    assert v.validate(suite).results[0].success is False
+    v.ctx["evaluation_parameters"]["expected_rows"] = 30
+    assert v.validate(suite).results[0].success is True
+
+
 def test_unresolved_parameter_is_failure(typed_small):
     suite = ConstraintSuite("p2").add(
         "expect_column_min_to_be_between",
