@@ -373,6 +373,47 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+_SIZE_SUFFIXES = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_byte_conf(v: str) -> int:
+    """Parse Spark byte-size conf strings ('10485760b', '10MB', '-1')."""
+    s = str(v).strip().lower()
+    for suf in ("kb", "mb", "gb", "tb", "k", "m", "g", "t", "b"):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * _SIZE_SUFFIXES[suf[0]])
+    return int(float(s))
+
+
+def _probe_index_fits_broadcast(p_arr: DataFrame) -> bool:
+    """Estimate the EXPLODED probe shingle index's in-memory size and
+    compare it to ``spark.sql.autoBroadcastJoinThreshold``.
+
+    One cheap aggregation job over the (small) probe table: per exploded
+    row we account the shingle string payload (~2 bytes/char in
+    UnsafeRow's UTF8String + object slack) plus ~48 bytes of fixed row
+    overhead (probe_id, p_sz, offsets). Deliberately conservative — a
+    false negative costs one shuffle of the small side; a false positive
+    can OOM every executor (VERDICT r4 #7)."""
+    spark = p_arr.sparkSession
+    thr = _parse_byte_conf(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    )
+    if thr <= 0:
+        return False
+    row = p_arr.select(
+        F.sum(
+            F.aggregate(
+                "sh",
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + F.length(s) * 2 + 48,
+            )
+        ).alias("est_bytes")
+    ).first()
+    est = row["est_bytes"] or 0
+    return est <= thr
+
+
 def containment_pairs(
     corpus: DataFrame,
     probes: DataFrame,
@@ -382,7 +423,7 @@ def containment_pairs(
     probe_text: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    broadcast_probes: bool = True,
+    broadcast_probes: bool | None = None,
     exclude_self: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: every (corpus doc, probe) pair whose
@@ -395,11 +436,18 @@ def containment_pairs(
     construction — so its exploded shingle index is BROADCAST; the corpus
     explodes once and hash-joins against it. Work is one corpus scan;
     shuffle is bounded by the (corpus shingle, probe) collisions — never
-    |corpus| x |probes|, and nothing all-pairs. Set
-    ``broadcast_probes=False`` when the probe set outgrows the broadcast
-    threshold (falls back to a shuffle hash join keyed by shingle;
-    correctness identical). Shingle sets are distinct on both sides, so
-    the per-pair join hit count IS the intersection size."""
+    |corpus| x |probes|, and nothing all-pairs.
+
+    ``broadcast_probes=None`` (default) AUTO-DECIDES: one cheap
+    aggregation over the probe table estimates the exploded shingle-index
+    size in bytes (per-row string payload + Tungsten UnsafeRow overhead)
+    and broadcasts only when it fits under
+    ``spark.sql.autoBroadcastJoinThreshold`` — so a million-probe eval
+    suite can't OOM executors with a forced broadcast. ``True`` forces
+    the broadcast hint, ``False`` forces the shuffle hash join keyed by
+    shingle; correctness is identical in all three modes. Shingle sets
+    are distinct on both sides, so the per-pair join hit count IS the
+    intersection size."""
     c_sh = corpus.select(
         F.col(corpus_id), tokens(F.col(corpus_text)).alias("__toks")
     ).select(
@@ -413,6 +461,8 @@ def containment_pairs(
         shingles_of_tokens(F.col("__toks"), shingle_n).alias("sh"),
     ).withColumn("p_sz", F.size("sh"))
     p_sh = p_arr.select(probe_id, "p_sz", F.explode("sh").alias("s"))
+    if broadcast_probes is None:
+        broadcast_probes = _probe_index_fits_broadcast(p_arr)
     if broadcast_probes:
         p_sh = F.broadcast(p_sh)
     joined = c_sh.join(p_sh, on="s")

@@ -350,13 +350,55 @@ def strftime_to_spark(fmt: str) -> str:
     return "".join(out)
 
 
+def _strptime_fallback_udf(fmt: str):
+    """Arrow-batched exact ``datetime.strptime`` check for strftime
+    directives Spark's parser cannot express (%a/%A/%U/...). Mirrors the
+    reference's Python semantics exactly (ref
+    column_values_match_strftime_format.py:34-58): strptime must consume
+    the whole string."""
+
+    @F.pandas_udf(T.BooleanType())
+    def ok(s: pd.Series) -> pd.Series:
+        import datetime as dt
+
+        def one(v: Any) -> bool:
+            if v is None:
+                return False  # masked by the null-filtered domain anyway
+            try:
+                dt.datetime.strptime(str(v), fmt)
+                return True
+            except (ValueError, TypeError):
+                return False
+
+        return s.map(one)
+
+    return ok
+
+
 @register("expect_column_values_to_match_strftime_format")
 def c_strftime(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledConstraint:
     """Native replacement for the reference's Python-UDF strptime check
-    (column_values_match_strftime_format.py:34-58): try_to_timestamp."""
+    (column_values_match_strftime_format.py:34-58): try_to_timestamp.
+
+    Directives with no parseable Spark pattern raise at compile time
+    (-> failed verdict with exception_info) UNLESS
+    ``allow_python_fallback=True``, which validates them via an exact
+    Arrow pandas_udf strptime instead — answer instead of refuse, full
+    reference parity at bounded (vectorized, validation-only) cost."""
     kw = constraint.kwargs
-    fmt = strftime_to_spark(kw["strftime_format"])
     col = F.col(kw["column"])
+    try:
+        fmt = strftime_to_spark(kw["strftime_format"])
+    except ValueError as exc:
+        if not bool(kw.get("allow_python_fallback", False)):
+            raise ValueError(
+                f"{exc}; pass allow_python_fallback=True to validate via "
+                "Python strptime instead"
+            ) from None
+        expected = _strptime_fallback_udf(kw["strftime_format"])(
+            col.cast("string")
+        )
+        return _std_map(constraint, df, expected)
     expected = F.try_to_timestamp(col, F.lit(fmt)).isNotNull() & (
         F.length(col) == F.length(F.date_format(F.try_to_timestamp(col, F.lit(fmt)), fmt))
     )

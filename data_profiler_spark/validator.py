@@ -390,7 +390,24 @@ class Validator:
             sdf.select(F.lit(cid).alias("constraint_id"), *key_columns)
             for cid, sdf in samples.items()
         ]
-        return _reduce(lambda a, b: a.unionByName(b), parts)
+        union = _reduce(lambda a, b: a.unionByName(b), parts)
+        # Each union branch re-scans the source with its own filter. When
+        # the caller has NOT already cached it (the checkpoint runner
+        # persists its chunk; ad-hoc validators don't) and enough branches
+        # exist to pay for a cache build, persist for the duration of ONE
+        # eager materialization of the (bounded, K x limit rows) union,
+        # then unpersist — the caller's collect() reads the materialized
+        # blocks, and the source parquet is scanned once, not K times
+        # (VERDICT r4 #6).
+        from pyspark import StorageLevel
+
+        if len(parts) > 2 and self.df.storageLevel == StorageLevel.NONE:
+            self.df.persist()
+            try:
+                union = union.localCheckpoint(eager=True)
+            finally:
+                self.df.unpersist()
+        return union
 
     # ------------------------------------------------------------------
     def head(self, n: int = 5):

@@ -118,3 +118,46 @@ def test_violation_samples_unioned_matches_per_constraint(spark, code_tables, su
 
     with _pytest.raises(ValueError):
         v.violation_samples_unioned(suite, limit=20)
+
+
+def test_violation_union_shares_one_cached_scan(spark, code_tables, suite):
+    """VERDICT r4 #6: the K-branch union must not re-scan the source K
+    times. Pre-persisted source -> every branch feeds from
+    InMemoryTableScan (plan check); non-persisted source -> the method
+    auto-persists for one eager materialization and unpersists after."""
+    from pyspark import StorageLevel
+    from data_profiler_spark.validator import Validator
+
+    files, commits = code_tables
+    dfp = add_partition_column(files, n_buckets=6, cols=["repo", "path"])
+    keys = ["partition_id", "repo", "path", "commit"]
+
+    # caller-persisted chunk (the checkpoint-runner shape): plan check
+    dfp_cached = dfp.persist()
+    try:
+        v = Validator(dfp_cached, tables={"commits": commits})
+        res = v.validate(suite, group_by=["partition_id"])
+        uni = v.violation_samples_unioned(
+            suite, limit=20, only_failed_of=res, key_columns=keys
+        )
+        if uni is not None:
+            plan = uni._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan
+            rows_cached = {
+                (r["constraint_id"], tuple(r)[1:]) for r in uni.collect()
+            }
+    finally:
+        dfp_cached.unpersist()
+
+    # non-persisted source: auto-persist path, unpersisted after the call
+    v2 = Validator(dfp, tables={"commits": commits})
+    res2 = v2.validate(suite, group_by=["partition_id"])
+    uni2 = v2.violation_samples_unioned(
+        suite, limit=20, only_failed_of=res2, key_columns=keys
+    )
+    assert dfp.storageLevel == StorageLevel.NONE
+    if uni2 is not None:
+        rows_auto = {
+            (r["constraint_id"], tuple(r)[1:]) for r in uni2.collect()
+        }
+        assert rows_auto == rows_cached

@@ -384,3 +384,28 @@ def test_strftime_literal_quoting_and_unsupported(spark):
         )
         assert rb.success is False
         assert rb.exception_info and "strftime" in rb.exception_info
+
+
+def test_strftime_python_fallback_optin(spark):
+    """VERDICT r4 #4: Spark-unparseable directives (%A here) validate via
+    the exact Arrow strptime fallback when allow_python_fallback=True; the
+    default path still raises with the opt-in hint."""
+    vals = ["Monday 05 2020", "Funday 05 2020", "Monday 5 2020x", None]
+    df = spark.createDataFrame([(v,) for v in vals], ["d"])
+    r = run_one(
+        df, "expect_column_values_to_match_strftime_format",
+        column="d", strftime_format="%A %d %Y", allow_python_fallback=True,
+    )
+    assert r.exception_info is None
+    assert r.missing_count == 1
+    # "Funday..." (bad weekday name) and trailing garbage both fail;
+    # strptime accepts unpadded day for %d so only those two are unexpected
+    assert r.unexpected_count == 2
+    assert r.success is False
+
+    r2 = run_one(
+        df, "expect_column_values_to_match_strftime_format",
+        column="d", strftime_format="%A %d %Y",
+    )
+    assert r2.success is False
+    assert r2.exception_info and "allow_python_fallback" in r2.exception_info

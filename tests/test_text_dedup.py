@@ -293,3 +293,65 @@ def test_containment_pairs_decontamination(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_containment_auto_broadcast_switch(spark):
+    """VERDICT r4 #7: broadcast_probes=None auto-decides from the
+    estimated exploded probe-index size vs autoBroadcastJoinThreshold —
+    small probe sets broadcast, oversized ones fall back to the shuffle
+    join, and all three modes agree on results."""
+    from data_profiler_spark.operators.dedup import (
+        _parse_byte_conf,
+        _probe_index_fits_broadcast,
+        containment_pairs,
+        tokens,
+        shingles_of_tokens,
+    )
+    from pyspark.sql import functions as F
+
+    assert _parse_byte_conf("10485760b") == 10485760
+    assert _parse_byte_conf("10MB") == 10 * 1024 * 1024
+    assert _parse_byte_conf("-1") == -1
+    assert _parse_byte_conf("1g") == 1 << 30
+
+    probes = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(20)],
+        "probe_id long, text string",
+    )
+    p_arr = probes.select(
+        "probe_id", tokens(F.col("text")).alias("__toks")
+    ).select(
+        "probe_id", shingles_of_tokens(F.col("__toks"), 3).alias("sh")
+    ).withColumn("p_sz", F.size("sh"))
+
+    default_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        assert _probe_index_fits_broadcast(p_arr) is True
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100b")
+        assert _probe_index_fits_broadcast(p_arr) is False
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert _probe_index_fits_broadcast(p_arr) is False
+
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta 3 epsilon zeta and more words"),
+             (2, "nothing in common with any probe at all here")],
+            "doc_id long, text string",
+        )
+        # auto mode under a tiny threshold (shuffle path) == forced modes
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100b")
+        res_auto = sorted(
+            tuple(r) for r in containment_pairs(
+                corpus, probes, shingle_n=3, threshold=0.5
+            ).collect()
+        )
+        res_bc = sorted(
+            tuple(r) for r in containment_pairs(
+                corpus, probes, shingle_n=3, threshold=0.5,
+                broadcast_probes=True,
+            ).collect()
+        )
+        assert res_auto == res_bc and len(res_auto) == 1
+        assert res_auto[0][0] == 1 and res_auto[0][1] == 3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", default_thr)
