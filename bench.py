@@ -6,6 +6,11 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
      "queries": {name: sec, ...}, "sf": ...}
 
 Each query is timed end-to-end (plan + execute + materialize via count()).
+A fixed CPU calibration probe runs immediately BEFORE each query and its
+seconds are emitted per query under "probes": this host throttles on burst
+credits (2-14x), so a hot probe marks that query's timing as suspect and
+makes regressions attributable (VERDICT r4 #8). Compare probe values within
+one run; a probe >3x the run's median probe means re-measure in isolation.
 The north-rule scaling benchmark (local[8] vs local[32], files/sec,
 efficiency) lives in benchmarks/bench_scaling.py and reports into BENCH.md.
 """
@@ -53,6 +58,16 @@ HEADLINE = [
 ]
 
 
+def _calibration_probe(spark) -> float:
+    """Fixed-size CPU burst (hash-reduce over 4M longs, all cores): ~0.2s
+    on an unthrottled host. Timed seconds are the throttle indicator."""
+    t0 = time.time()
+    spark.range(4_000_000).selectExpr(
+        "sum(pmod(xxhash64(id), 1000000)) as h"  # modded: no ANSI overflow
+    ).collect()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     from data_profiler_spark.core.session import get_spark_session
     from data_profiler_spark import queries as Q
@@ -64,9 +79,12 @@ def main() -> None:
 
     qs = Q.queries()
     timings: dict[str, float] = {}
+    probes: dict[str, float] = {}
     total = 0.0
+    _calibration_probe(spark)  # codegen warm-up for the probe itself
     for name in HEADLINE:
         fn = qs[name]
+        probes[name] = _calibration_probe(spark)
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -90,6 +108,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "probes": probes,
                 "sf": sf_val,
             }
         )
