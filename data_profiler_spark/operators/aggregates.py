@@ -339,7 +339,10 @@ def _distinct_set_constraint(type_name: str, check) -> None:
         collected distinct values (bounded-cardinality columns only)."""
         kw = constraint.kwargs
         a = metric_alias("column.distinct_values", column=kw["column"])
-        expected = set(kw["value_set"])
+        vs = kw.get("value_set")
+        # value_set=None is GE's observe-only mode (BasicDatasetProfiler
+        # emits it, basic_dataset_profiler.py:171-175): succeed, record
+        expected = None if vs is None else set(vs)
 
         def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
             observed = set(metrics.get(a) or [])
@@ -347,7 +350,7 @@ def _distinct_set_constraint(type_name: str, check) -> None:
                 constraint_id=constraint.id,
                 constraint_type=constraint.type,
                 kwargs=dict(kw),
-                success=check(observed, expected),
+                success=True if expected is None else check(observed, expected),
                 group=group,
                 observed_value=sorted(observed, key=str),
             )
@@ -463,7 +466,13 @@ _schema_constraint(
 )
 _schema_constraint(
     "expect_table_columns_to_match_ordered_list",
-    lambda df, kw: (list(df.columns), list(df.columns) == list(kw["column_list"])),
+    # column_list=None is GE's observe-only mode (BasicDatasetProfiler
+    # emits it, basic_dataset_profiler.py:135): succeed, record columns
+    lambda df, kw: (
+        list(df.columns),
+        kw.get("column_list") is None
+        or list(df.columns) == list(kw["column_list"]),
+    ),
 )
 _schema_constraint(
     "expect_table_columns_to_match_set",

@@ -244,3 +244,158 @@ def build_suite_from_profile(
             # histogram was profiled) — skip the drift term
             pass
     return suite
+
+
+# ---------------------------------------------------------------------------
+# BasicDatasetProfiler parity: the reference's per-(type, cardinality)
+# expectation table (basic_dataset_profiler.py:129-330)
+# ---------------------------------------------------------------------------
+
+# ref profile/base.py ProfilerDataType
+PROFILER_DATA_TYPES = {"INT", "FLOAT", "STRING", "BOOLEAN", "DATETIME", "UNKNOWN"}
+
+_LOW_CARD = ("ONE", "TWO", "VERY_FEW", "FEW")
+_HIGH_CARD = ("MANY", "VERY_MANY")
+
+
+def classify_profiler_type(spark_type: str) -> str:
+    """Spark simpleString -> ProfilerDataType, mirroring the reference's
+    type-name whitelists (ProfilerTypeMapping, profile/base.py — matched by
+    ``expect_column_values_to_be_in_type_list`` probes in
+    basic_dataset_profiler.py:34-72; we read the schema instead: one
+    metadata lookup, zero jobs)."""
+    t = spark_type.lower()
+    if t in ("tinyint", "smallint", "int", "bigint", "byte", "short", "integer", "long"):
+        return "INT"
+    if t in ("float", "double", "real") or t.startswith("decimal"):
+        return "FLOAT"
+    if t == "string" or t.startswith(("varchar", "char")):
+        return "STRING"
+    if t == "boolean":
+        return "BOOLEAN"
+    if t in ("date", "timestamp", "timestamp_ntz"):
+        return "DATETIME"
+    return "UNKNOWN"
+
+
+def basic_expectation_shape(ptype: str, cardinality: str) -> list[str]:
+    """The exact expectation-type list ``BasicDatasetProfiler._profile``
+    emits for a column of class (type, cardinality), in emission order
+    (ref basic_dataset_profiler.py:154-330).
+
+    Every column gets not_null(mostly=.5) + in_set([]) (:156-160); then:
+    INT splits UNIQUE -> unique, low-cardinality -> distinct-in-set,
+    MANY/VERY_MANY -> min/max/mean/median/stdev/quantiles/KL (:161-213);
+    FLOAT is identical minus stdev (:215-249); STRING always adds the
+    whitespace regex then unique/distinct-in-set (:251-270); DATETIME
+    always pins min/max and adds distinct-in-set at low cardinality
+    (:272-305); BOOLEAN/UNKNOWN get unique/distinct-in-set only
+    (:307-330). NONE cardinality adds nothing type-specific."""
+    if ptype not in PROFILER_DATA_TYPES:
+        raise ValueError(f"unknown profiler type {ptype!r}")
+    if cardinality not in CARDINALITY_ORDER:
+        raise ValueError(f"unknown cardinality {cardinality!r}")
+    shape = [
+        "expect_column_values_to_not_be_null",
+        "expect_column_values_to_be_in_set",
+    ]
+    unique = cardinality == "UNIQUE"
+    low = cardinality in _LOW_CARD
+    high = cardinality in _HIGH_CARD
+    numeric_describe = [
+        "expect_column_min_to_be_between",
+        "expect_column_max_to_be_between",
+        "expect_column_mean_to_be_between",
+        "expect_column_median_to_be_between",
+    ]
+    if ptype == "INT":
+        if unique:
+            shape.append("expect_column_values_to_be_unique")
+        elif low:
+            shape.append("expect_column_distinct_values_to_be_in_set")
+        elif high:
+            shape += numeric_describe + [
+                "expect_column_stdev_to_be_between",
+                "expect_column_quantile_values_to_be_between",
+                "expect_column_kl_divergence_to_be_less_than",
+            ]
+    elif ptype == "FLOAT":
+        if unique:
+            shape.append("expect_column_values_to_be_unique")
+        elif low:
+            shape.append("expect_column_distinct_values_to_be_in_set")
+        elif high:
+            # the reference's FLOAT branch omits stdev (:215-249)
+            shape += numeric_describe + [
+                "expect_column_quantile_values_to_be_between",
+                "expect_column_kl_divergence_to_be_less_than",
+            ]
+    elif ptype == "STRING":
+        shape.append("expect_column_values_to_not_match_regex")
+        if unique:
+            shape.append("expect_column_values_to_be_unique")
+        elif low:
+            shape.append("expect_column_distinct_values_to_be_in_set")
+    elif ptype == "DATETIME":
+        shape += [
+            "expect_column_min_to_be_between",
+            "expect_column_max_to_be_between",
+        ]
+        if low:
+            shape.append("expect_column_distinct_values_to_be_in_set")
+    else:  # BOOLEAN / UNKNOWN
+        if unique:
+            shape.append("expect_column_values_to_be_unique")
+        elif low:
+            shape.append("expect_column_distinct_values_to_be_in_set")
+    return shape
+
+
+def build_basic_suite_from_profile(
+    tp: TableProfile, name: str = "basic_profile"
+) -> ConstraintSuite:
+    """The ``BasicDatasetProfiler`` suite: observe-only expectations whose
+    types and arguments mirror the reference's emission exactly
+    (basic_dataset_profiler.py:129-330) — ``mostly=0.5`` not-null, empty
+    ``in_set``, ``None``-valued bounds/sets (= always succeed, record the
+    observed value), the ``^\\s+|\\s+$`` whitespace regex, the
+    [.05,.25,.5,.75,.95] quantile ladder. One deviation, in the profiling
+    spirit: the KL term is pinned to the profile's own sketch as its
+    ``partition_object`` (the reference also derives the partition from the
+    profiled batch) with ``threshold=None`` (observe-only); it is skipped
+    when the column has no sketch."""
+    suite = ConstraintSuite(name)
+    suite.add("expect_table_row_count_to_be_between", min_value=0, max_value=None)
+    suite.add("expect_table_columns_to_match_ordered_list", column_list=None)
+    for colname, cp in tp.columns.items():
+        ptype = classify_profiler_type(cp.spark_type)
+        card = classify_cardinality(cp)
+        for ctype in basic_expectation_shape(ptype, card):
+            kw: dict[str, Any] = {"column": colname}
+            if ctype == "expect_column_values_to_not_be_null":
+                kw["mostly"] = 0.5
+            elif ctype == "expect_column_values_to_be_in_set":
+                kw["value_set"] = []
+                kw["result_format"] = "SUMMARY"
+            elif ctype == "expect_column_distinct_values_to_be_in_set":
+                kw["value_set"] = None
+                kw["result_format"] = "SUMMARY"
+            elif ctype == "expect_column_values_to_not_match_regex":
+                kw["regex"] = r"^\s+|\s+$"
+            elif ctype == "expect_column_quantile_values_to_be_between":
+                kw["quantile_ranges"] = {
+                    "quantiles": [0.05, 0.25, 0.5, 0.75, 0.95],
+                    "value_ranges": [[None, None]] * 5,
+                }
+            elif ctype == "expect_column_kl_divergence_to_be_less_than":
+                try:
+                    kw["partition_object"] = cp.as_baseline()
+                except ValueError:
+                    continue  # no sketch for this column
+                kw["threshold"] = None
+                kw["result_format"] = "COMPLETE"
+            elif ctype.endswith("_to_be_between"):
+                kw["min_value"] = None
+                kw["max_value"] = None
+            suite.add(ctype, **kw)
+    return suite

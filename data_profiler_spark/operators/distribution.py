@@ -93,7 +93,9 @@ def c_kl_divergence(constraint: Constraint, df: DataFrame, ctx: dict) -> Compile
     kw = constraint.kwargs
     colname = kw["column"]
     po = kw["partition_object"]
-    threshold = float(kw["threshold"])
+    # threshold=None is GE's observe-only mode (BasicDatasetProfiler emits
+    # it, basic_dataset_profiler.py:208-213): always succeed, record the KL
+    threshold = None if kw.get("threshold") is None else float(kw["threshold"])
     tail_holdout = float(kw.get("tail_weight_holdout", 0.0))
     internal_holdout = float(kw.get("internal_weight_holdout", 0.0))
     nn_a, nn_t = _nonnull_term(colname)
@@ -121,7 +123,7 @@ def c_kl_divergence(constraint: Constraint, df: DataFrame, ctx: dict) -> Compile
             return ConstraintResult(
                 constraint_id=constraint.id, constraint_type=constraint.type,
                 kwargs=dict(kw),
-                success=bool(kl < threshold),
+                success=bool(threshold is None or kl < threshold),
                 group=group,
                 observed_value=kl,
                 details={"observed_weights": pk, "expected_weights": qk},
@@ -165,7 +167,7 @@ def c_kl_divergence(constraint: Constraint, df: DataFrame, ctx: dict) -> Compile
         return ConstraintResult(
             constraint_id=constraint.id, constraint_type=constraint.type,
             kwargs=dict(kw),
-            success=bool(kl < threshold),
+            success=bool(threshold is None or kl < threshold),
             group=group,
             observed_value=kl,
             details={"observed_weights": pk, "expected_weights": qk + q_tails},
