@@ -1031,6 +1031,65 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_centroids=8, nprobe=3)
 
 
+# Refined-IVF (VERDICT r4 #10): the Lloyd-refined centroids are iterative —
+# not portable-SQL-expressible — so the query uses the north fixture-oracle
+# pattern: Spark WRITES the refined centroid table it actually used to a
+# fixture path, and the oracle replays the (deterministic) downstream IVF
+# assignment + probe + top-k from those exact doubles. The centroid
+# ITERATION itself is covered by the recall assertion in
+# tests/test_similarity_multimodal.py.
+_IVF_CENT_FIXTURE = "/tmp/dps_fixture/ivf_refined_centroids.parquet"
+
+_TOPK_IVF_REFINED_ORACLE = f"""
+WITH cents AS (
+  SELECT centroid_id, centroid_vec AS cvec
+  FROM read_parquet('{_IVF_CENT_FIXTURE}/*.parquet')
+), assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+             c.centroid_id) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+             c.centroid_id) AS rn
+    FROM embeddings q, cents c WHERE q.vec_id < 5
+  ) WHERE rn <= 3
+), ranked AS (
+  SELECT p.query_id, a.vec_id,
+         ROUND(list_cosine_similarity(a.v, p.qv), 6) AS sim,
+         row_number() OVER (PARTITION BY p.query_id ORDER BY
+           ROUND(list_cosine_similarity(a.v, p.qv), 6) DESC, a.vec_id) AS rank
+  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register_query("embedding_topk_ivf_refined", _TOPK_IVF_REFINED_ORACLE)
+def q_embedding_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_spark.operators.similarity import (
+        ann_topk_ivf,
+        kmeans_refined_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_refined_centroids(
+        e, "vec_id", "embedding", n_centroids=8, iters=2
+    )
+    cents.write.mode("overwrite").parquet(_IVF_CENT_FIXTURE)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_topk_ivf(e, q, "vec_id", "embedding", "query_id", k=5,
+                        nprobe=3, centroids=cents)
+
+
 # ===========================================================================
 # 5. Multimodal plumbing (synthetic binary media; fake decode -> rows-only)
 # ===========================================================================
