@@ -355,12 +355,30 @@ class Validator:
             out[c.constraint.id] = deterministic_sample(v, limit)
         return out
 
+    def prepare_violation_samples(
+        self,
+        suite: ConstraintSuite,
+        limit: int = 20,
+        key_columns: list[str] | None = None,
+    ) -> dict[str, DataFrame]:
+        """BUILD (don't run) every violation-capable constraint's bounded
+        sample plan: pure driver-side py4j/Catalyst expression work, no
+        Spark job. Call it from a second thread WHILE an executor job (the
+        fused profile / constraint agg) is running — the driver is
+        otherwise idle inside py4j waits, so the plan-construction slice of
+        the serial F term overlaps with executor time instead of extending
+        the wall clock (VERDICT r4 #5). Pass the result to
+        ``violation_samples_unioned(prepared=...)``, which subsets it to
+        the failed constraints once verdicts exist."""
+        return self.violation_samples(suite, limit=limit, key_columns=key_columns)
+
     def violation_samples_unioned(
         self,
         suite: ConstraintSuite,
         limit: int = 20,
         only_failed_of: SuiteResult | None = None,
         key_columns: list[str] | None = None,
+        prepared: dict[str, DataFrame] | None = None,
     ) -> DataFrame | None:
         """Every constraint's violation sample in ONE Spark job.
 
@@ -380,10 +398,24 @@ class Validator:
             )
         from functools import reduce as _reduce
 
-        samples = self.violation_samples(
-            suite, limit=limit, only_failed_of=only_failed_of,
-            key_columns=key_columns,
-        )
+        if prepared is not None:
+            # plans were pre-built (overlapped with an executor job);
+            # subset to the constraints that actually failed
+            failed_ids = (
+                {r.constraint_id for r in only_failed_of.results if not r.success}
+                if only_failed_of is not None
+                else None
+            )
+            samples = {
+                cid: sdf
+                for cid, sdf in prepared.items()
+                if failed_ids is None or cid in failed_ids
+            }
+        else:
+            samples = self.violation_samples(
+                suite, limit=limit, only_failed_of=only_failed_of,
+                key_columns=key_columns,
+            )
         if not samples:
             return None
         parts = [
