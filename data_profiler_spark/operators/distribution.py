@@ -615,8 +615,12 @@ def c_parameterized_ks(constraint: Constraint, df: DataFrame, ctx: dict) -> Comp
         if not group_by:
             return {(): {ks_a: res.get((), (0.0, 1.0, 0))}}
         # group keys are native on both sides (same columns, both collected
-        # from Spark), so they match the fused-pass keys directly
-        return {g: {ks_a: res[g]} for g, _m in groups if g in res}
+        # from Spark), so they match the fused-pass keys directly; the merge
+        # loop in validate() intersects updates with pass-1 groups, so no
+        # need to read `groups` here — which frees this post pass to START
+        # before the fused agg finishes (its two jobs overlap pass 1
+        # instead of extending the serial F term; VERDICT r4 #5).
+        return {g: {ks_a: res[g]} for g in res}
 
     def verdict(metrics: dict[str, Any], group: dict[str, Any]) -> ConstraintResult:
         triple = metrics.get(ks_a)
@@ -637,7 +641,8 @@ def c_parameterized_ks(constraint: Constraint, df: DataFrame, ctx: dict) -> Comp
 
     return CompiledConstraint(
         constraint=constraint, agg_terms=[], verdict_fn=verdict,
-        post_pass_fn=post_pass, post_pass_needs_metrics=True,
+        post_pass_fn=post_pass,
+        post_pass_needs_metrics=False,  # exact KS reads only the raw column
     )
 
 
