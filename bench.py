@@ -55,6 +55,7 @@ HEADLINE = [
     "langid_confusion",
     "north_profile_by_lang",
     "north_verdicts",
+    "rule_profile_ranges",
 ]
 
 

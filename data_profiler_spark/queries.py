@@ -1424,3 +1424,65 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     return repetition_features(d, "text", id_cols=["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# 15. Rule-based profiler (config-driven suite generation, NEW r5)
+# ---------------------------------------------------------------------------
+
+_RBP_NUMERIC_COLS = [
+    "l_discount", "l_extendedprice", "l_linenumber", "l_orderkey",
+    "l_partkey", "l_quantity", "l_suppkey", "l_tax",
+]
+
+_RBP_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column_name, CAST(MIN({c}) AS DOUBLE) AS min_value, "
+    f"CAST(MAX({c}) AS DOUBLE) AS max_value FROM lineitem"
+    for c in _RBP_NUMERIC_COLS
+)
+
+
+@register_query("rule_profile_ranges", _RBP_ORACLE)
+def q_rule_profile_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/rule_profiler.py (ref rule_based_profiler/profiler.py):
+    a semantic-numeric rule generating min/max between-expectations for
+    every numeric lineitem column — all 16 metric parameters resolve in
+    ONE fused aggregation job; the oracle checks the generated constraint
+    kwargs value-for-value against per-column MIN/MAX."""
+    from data_profiler_spark.operators.rule_profiler import RuleBasedProfiler
+
+    config = {
+        "rules": {
+            "numeric_range_rule": {
+                "domain_builder": {
+                    "class_name": "SemanticTypeColumnDomainBuilder",
+                    "semantic_types": ["numeric"],
+                },
+                "parameter_builders": [
+                    {"parameter_name": "col_min", "metric_name": "column.min"},
+                    {"parameter_name": "col_max", "metric_name": "column.max"},
+                ],
+                "expectation_configuration_builders": [
+                    {
+                        "expectation_type": "expect_column_values_to_be_between",
+                        "column": "$domain.domain_kwargs.column",
+                        "min_value": "$parameter.col_min.value",
+                        "max_value": "$parameter.col_max.value",
+                    }
+                ],
+            }
+        }
+    }
+    suite = RuleBasedProfiler(config).profile(_t(spark, sf_dir, "lineitem"))
+    rows = [
+        (
+            c.kwargs["column"],
+            float(c.kwargs["min_value"]),
+            float(c.kwargs["max_value"]),
+        )
+        for c in suite.constraints
+        if c.type == "expect_column_values_to_be_between"
+    ]
+    return spark.createDataFrame(
+        rows, "column_name string, min_value double, max_value double"
+    )
