@@ -385,32 +385,37 @@ def _parse_byte_conf(v: str) -> int:
     return int(float(s))
 
 
-def _probe_index_fits_broadcast(p_arr: DataFrame) -> bool:
+def _probe_index_fits_broadcast(
+    probes: DataFrame, text_col: str, shingle_n: int
+) -> bool:
     """Estimate the EXPLODED probe shingle index's in-memory size and
     compare it to ``spark.sql.autoBroadcastJoinThreshold``.
 
-    One cheap aggregation job over the (small) probe table: per exploded
-    row we account the shingle string payload (~2 bytes/char in
-    UnsafeRow's UTF8String + object slack) plus ~48 bytes of fixed row
-    overhead (probe_id, p_sz, offsets). Deliberately conservative — a
-    false negative costs one shuffle of the small side; a false positive
-    can OOM every executor (VERDICT r4 #7)."""
-    spark = p_arr.sparkSession
+    Bounded from raw text length, WITHOUT building the shingle index: an
+    n-token shingle covers each text character at most n times, so total
+    shingle payload <= 2n * sum(length(text)) bytes (~2 bytes/char in
+    UnsafeRow's UTF8String + slack), and the exploded row count is at most
+    the token count (< length/2), each carrying ~48 bytes of fixed
+    overhead (probe_id, p_sz, offsets). The probe job is therefore a
+    column-pruned length/count aggregation — milliseconds — where the
+    previous version tokenized and shingled the whole probe set just to
+    size it (~5 s of higher-order-function codegen + eval per
+    decontamination call). Deliberately conservative — a false negative
+    costs one shuffle of the small side; a false positive can OOM every
+    executor (VERDICT r4 #7)."""
+    spark = probes.sparkSession
     thr = _parse_byte_conf(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
     )
     if thr <= 0:
         return False
-    row = p_arr.select(
-        F.sum(
-            F.aggregate(
-                "sh",
-                F.lit(0).cast("long"),
-                lambda acc, s: acc + F.length(s) * 2 + 48,
-            )
-        ).alias("est_bytes")
+    row = probes.select(
+        F.sum(F.length(F.col(text_col))).alias("chars"),
+        F.count(F.lit(1)).alias("rows"),
     ).first()
-    est = row["est_bytes"] or 0
+    chars = row["chars"] or 0
+    rows = row["rows"] or 0
+    est = 2 * shingle_n * chars + 48 * (chars // 2 + rows)
     return est <= thr
 
 
@@ -462,7 +467,9 @@ def containment_pairs(
     ).withColumn("p_sz", F.size("sh"))
     p_sh = p_arr.select(probe_id, "p_sz", F.explode("sh").alias("s"))
     if broadcast_probes is None:
-        broadcast_probes = _probe_index_fits_broadcast(p_arr)
+        broadcast_probes = _probe_index_fits_broadcast(
+            probes, probe_text, shingle_n
+        )
     if broadcast_probes:
         p_sh = F.broadcast(p_sh)
     joined = c_sh.join(p_sh, on="s")

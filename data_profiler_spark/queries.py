@@ -48,6 +48,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_DOCS_NEEDS_REPARTITION: dict[tuple, bool] = {}
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table with a defensive repartition for CPU-heavy text ops.
 
@@ -61,7 +64,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition would force-read the text bytes)."""
     d = _t(spark, sf_dir, "documents")
     cores = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < max(2, cores // 4):
+    key = (id(spark), sf_dir, cores)
+    needs = _DOCS_NEEDS_REPARTITION.get(key)
+    if needs is None:
+        # .rdd forces full analysis + RDD DAG build (~1s of driver time);
+        # the answer is a property of the fixture file, so probe once per
+        # (session, path) instead of once per query
+        needs = d.rdd.getNumPartitions() < max(2, cores // 4)
+        _DOCS_NEEDS_REPARTITION[key] = needs
+    if needs:
         d = d.repartition(cores)
     return d
 
@@ -1377,9 +1388,12 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.dedup import containment_pairs
 
     d = _docs(spark, sf_dir)
-    probes = d.where(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("probe_id"), F.col("text")
-    )
+    # probes from the RAW table: 100 rows need no parallelism, and building
+    # them under _docs's repartition would shuffle every corpus text byte
+    # just to size/shingle the probe side
+    probes = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 50 == 0
+    ).select(F.col("doc_id").alias("probe_id"), F.col("text"))
     return containment_pairs(
         d, probes, corpus_id="doc_id", probe_id="probe_id",
         corpus_text="text", probe_text="text",

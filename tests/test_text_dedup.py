@@ -304,10 +304,7 @@ def test_containment_auto_broadcast_switch(spark):
         _parse_byte_conf,
         _probe_index_fits_broadcast,
         containment_pairs,
-        tokens,
-        shingles_of_tokens,
     )
-    from pyspark.sql import functions as F
 
     assert _parse_byte_conf("10485760b") == 10485760
     assert _parse_byte_conf("10MB") == 10 * 1024 * 1024
@@ -318,20 +315,15 @@ def test_containment_auto_broadcast_switch(spark):
         [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(20)],
         "probe_id long, text string",
     )
-    p_arr = probes.select(
-        "probe_id", tokens(F.col("text")).alias("__toks")
-    ).select(
-        "probe_id", shingles_of_tokens(F.col("__toks"), 3).alias("sh")
-    ).withColumn("p_sz", F.size("sh"))
 
     default_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
-        assert _probe_index_fits_broadcast(p_arr) is True
+        assert _probe_index_fits_broadcast(probes, "text", 3) is True
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100b")
-        assert _probe_index_fits_broadcast(p_arr) is False
+        assert _probe_index_fits_broadcast(probes, "text", 3) is False
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        assert _probe_index_fits_broadcast(p_arr) is False
+        assert _probe_index_fits_broadcast(probes, "text", 3) is False
 
         corpus = spark.createDataFrame(
             [(1, "alpha beta gamma delta 3 epsilon zeta and more words"),
