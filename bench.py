@@ -6,6 +6,14 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
      "queries": {name: sec, ...}, "sf": ...}
 
 Each query is timed end-to-end (plan + execute + materialize via count()).
+Optional steady-state warm-up (SPARK_GRAFT_BENCH_WARM=1): every headline
+query first runs once at sf0.001 untimed so plan/codegen compile (a
+one-time driver cost) is not charged to the measured run. DEFAULT OFF on
+this host: measured 2026-08-17 — the warm-up itself is ~160 s of work
+(several queries are fixed-cost dominated, so their sf0.001 run costs as
+much as sf0.1) and drains the burst-credit CPU bucket, throttling the
+measured suite's tail 5-10x; the codegen it saves is <1 s/query. A full
+bucket at suite start beats warm plans.
 A fixed CPU calibration probe runs immediately BEFORE each query and its
 seconds are emitted per query under "probes": this host throttles on burst
 credits (2-14x), so a hot probe marks that query's timing as suspect and
@@ -83,6 +91,34 @@ def main() -> None:
     probes: dict[str, float] = {}
     total = 0.0
     _calibration_probe(spark)  # codegen warm-up for the probe itself
+
+    # Optional steady-state warm-up (see module docstring for why this is
+    # OFF by default on this burst-credit host): run every headline query
+    # once at sf0.001 untimed on 8 concurrent driver threads (Spark
+    # supports concurrent actions; codegen compiles in parallel), then
+    # idle SPARK_GRAFT_BENCH_RECOVER seconds (default 120) so the bucket
+    # refills. Costs reported under "warmup_sec" / "recover_sec".
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    warmup = 0.0
+    recover = float(os.environ.get("SPARK_GRAFT_BENCH_RECOVER", "120"))
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "0") == "1" and os.path.isdir(
+        warm_dir
+    ):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _warm(name: str) -> None:
+            try:
+                qs[name](spark, warm_dir).count()
+            except Exception:
+                pass
+
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(_warm, HEADLINE))
+        warmup = round(time.time() - t0, 3)
+        if recover > 0:
+            time.sleep(recover)
+
     for name in HEADLINE:
         fn = qs[name]
         probes[name] = _calibration_probe(spark)
@@ -110,6 +146,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "probes": probes,
+                "warmup_sec": warmup,
+                "recover_sec": recover,
                 "sf": sf_val,
             }
         )
