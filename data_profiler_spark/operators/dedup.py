@@ -489,3 +489,85 @@ def containment_pairs(
             F.round("containment", 6).alias("containment"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Dedup clustering: (node, component) for every node appearing in
+    ``pairs``, where component = the MIN node id of its connected
+    component. Completes the near-dup pipeline (pairs -> clusters ->
+    canonical survivor); the reference has no graph operator at all.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+    in O(log n) rounds on any graph, vs O(diameter) for naive label
+    propagation. Each round is two groupBy+join stages whose shuffle is
+    bounded by the CURRENT edge set (which only shrinks toward one edge
+    per non-root node); nothing is ever collected to the driver and no
+    adjacency list is materialized, so a 100-TB pair set just means wider
+    shuffles. ``localCheckpoint`` truncates the per-round lineage so the
+    plan doesn't grow exponentially across iterations.
+
+    Convergence is detected with a one-job fingerprint
+    (count + sum(xxhash64)) of the edge set instead of a subtract-join:
+    the alternating rounds are monotone toward the star fixpoint, so two
+    consecutive identical edge sets mean converged.
+    """
+    edges = (
+        pairs.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_fp: tuple | None = None
+    for _ in range(max_iter):
+        # large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})
+        nbrs = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        large = (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: edges now all point u -> v with u > v; every small
+        # neighbor AND u itself link to m(u) = min of u's small neighbors
+        mins2 = large.groupBy("u").agg(F.min("v").alias("mv"))
+        j = large.join(mins2, "u")
+        small = (
+            j.select(F.col("v").alias("u"), F.col("mv").alias("v"))
+            .union(j.select(F.col("u"), F.col("mv").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # decimal sum: order-independent and overflow-proof under ANSI mode
+        row = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        fp = (row["n"], row["h"])
+        edges = small
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    comp = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        comp.select(F.col("component").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    return comp.unionByName(roots)

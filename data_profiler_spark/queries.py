@@ -1500,3 +1500,451 @@ def q_rule_profile_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "column_name string, min_value double, max_value double"
     )
+
+
+# ===========================================================================
+# 15. Dedup clustering (NEW r5): connected components over near-dup pairs —
+#     alternating large-star/small-star, the missing tail of the dedup
+#     pipeline (pairs -> clusters -> canonical survivor)
+# ===========================================================================
+
+_CLUSTERS_ORACLE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS s
+  FROM documents
+), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM toks a JOIN toks b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.9
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b WHERE e.b <> r.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+"""
+
+
+@register_query("dedup_clusters", _CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: word-shingle Jaccard pairs (>= 0.9) -> connected
+    components (operators/dedup.py connected_components, alternating
+    large-star/small-star) -> (doc_id, cluster_id = component min). The
+    DuckDB oracle recomputes the same pairs and closes them with a
+    recursive transitive-closure CTE — exponential in SQL, O(log n)
+    distributed rounds in the engine."""
+    from data_profiler_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+
+    d = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(d, "doc_id", "text", shingle_n=1, threshold=0.9)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+# ===========================================================================
+# 16. Validator-routed oracle coverage (NEW r5): scalar aggregates, set
+#     verdicts, LIKE/length families, multicolumn records, cross-table row
+#     count, KL divergence, drift chi-square — each runs the REAL engine
+#     (ConstraintSuite -> Validator -> fused pass) and emits observed
+#     values/counts the DuckDB oracle recomputes independently.
+# ===========================================================================
+
+
+@register_query(
+    "validator_scalar_metrics",
+    """
+SELECT 'median_quantity' AS metric, ROUND(MEDIAN(l_quantity), 6) AS value FROM lineitem
+UNION ALL
+SELECT 'stdev_extendedprice', ROUND(STDDEV_SAMP(l_extendedprice), 6) FROM lineitem
+UNION ALL
+SELECT 'sum_quantity', ROUND(SUM(l_quantity), 4) FROM lineitem
+UNION ALL
+SELECT 'unique_prop_orderkey',
+       ROUND(CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) / COUNT(l_orderkey), 8)
+FROM lineitem
+""",
+)
+def q_validator_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median / stdev / sum / unique-proportion through the REAL engine
+    path (one fused aggregation job for the whole suite): ref
+    column_median.py:91-120, column_standard_deviation.py:48,
+    column_sum.py:28, column_proportion_of_unique_values.py:25-35."""
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.validator import Validator
+
+    li = _t(spark, sf_dir, "lineitem")
+    suite = (
+        ConstraintSuite("scalars")
+        .add("expect_column_median_to_be_between",
+             column="l_quantity", min_value=0, max_value=1000)
+        .add("expect_column_stdev_to_be_between",
+             column="l_extendedprice", min_value=0)
+        .add("expect_column_sum_to_be_between", column="l_quantity", min_value=0)
+        .add("expect_column_proportion_of_unique_values_to_be_between",
+             column="l_orderkey", min_value=0, max_value=1)
+    )
+    res = Validator(li).validate(suite).results
+    rows = [
+        ("median_quantity", round(float(res[0].observed_value), 6)),
+        ("stdev_extendedprice", round(float(res[1].observed_value), 6)),
+        ("sum_quantity", round(float(res[2].observed_value), 4)),
+        ("unique_prop_orderkey", round(float(res[3].observed_value), 8)),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+@register_query(
+    "validator_set_verdicts",
+    """
+WITH counts AS (
+  SELECT l_returnflag AS v, COUNT(*) AS c FROM lineitem
+  WHERE l_returnflag IS NOT NULL GROUP BY 1
+)
+SELECT 'mode_returnflag' AS metric,
+       (SELECT string_agg(v, ',' ORDER BY v) FROM counts
+         WHERE c = (SELECT MAX(c) FROM counts)) AS observed
+UNION ALL
+SELECT 'distinct_linestatus',
+       (SELECT string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+          FROM lineitem WHERE l_linestatus IS NOT NULL)
+UNION ALL
+SELECT 'distinct_returnflag',
+       (SELECT string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag)
+          FROM lineitem WHERE l_returnflag IS NOT NULL)
+""",
+)
+def q_validator_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """most_common_value (full argmax set) + distinct-set constraints via
+    the engine: ref column_most_common_value.py:33-45,
+    dataset/dataset.py:2303-2508."""
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.validator import Validator
+
+    li = _t(spark, sf_dir, "lineitem")
+    suite = (
+        ConstraintSuite("sets")
+        .add("expect_column_most_common_value_to_be_in_set",
+             column="l_returnflag", value_set=["A", "N", "R"], ties_okay=True)
+        .add("expect_column_distinct_values_to_equal_set",
+             column="l_linestatus", value_set=["F", "O"])
+        .add("expect_column_distinct_values_to_be_in_set",
+             column="l_returnflag", value_set=["A", "N", "R"])
+    )
+    res = Validator(li).validate(suite).results
+    rows = [
+        ("mode_returnflag", ",".join(res[0].observed_value)),
+        ("distinct_linestatus", ",".join(res[1].observed_value)),
+        ("distinct_returnflag", ",".join(res[2].observed_value)),
+    ]
+    return spark.createDataFrame(rows, "metric string, observed string")
+
+
+@register_query(
+    "validator_like_length_counts",
+    """
+SELECT 'expect_column_values_to_match_like_pattern' AS ctype,
+       COUNT(*) AS element_count,
+       CAST(SUM(CASE WHEN c_name IS NOT NULL AND c_name NOT LIKE 'Customer#%'
+                THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
+       SUM(CASE WHEN c_name IS NOT NULL AND c_name NOT LIKE 'Customer#%'
+           THEN 1 ELSE 0 END) = 0 AS success
+FROM customer
+UNION ALL
+SELECT 'expect_column_values_to_not_match_like_pattern', COUNT(*),
+       CAST(SUM(CASE WHEN c_name IS NOT NULL AND c_name LIKE '%999'
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN c_name IS NOT NULL AND c_name LIKE '%999'
+           THEN 1 ELSE 0 END) = 0
+FROM customer
+UNION ALL
+SELECT 'expect_column_values_to_match_like_pattern_list', COUNT(*),
+       CAST(SUM(CASE WHEN c_mktsegment IS NOT NULL
+                AND NOT (c_mktsegment LIKE 'B%' OR c_mktsegment LIKE 'A%'
+                         OR c_mktsegment LIKE 'F%')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN c_mktsegment IS NOT NULL
+           AND NOT (c_mktsegment LIKE 'B%' OR c_mktsegment LIKE 'A%'
+                    OR c_mktsegment LIKE 'F%')
+           THEN 1 ELSE 0 END) = 0
+FROM customer
+UNION ALL
+SELECT 'expect_column_value_lengths_to_be_between', COUNT(*),
+       CAST(SUM(CASE WHEN c_mktsegment IS NOT NULL
+                AND NOT (LENGTH(c_mktsegment) BETWEEN 5 AND 10)
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN c_mktsegment IS NOT NULL
+           AND NOT (LENGTH(c_mktsegment) BETWEEN 5 AND 10)
+           THEN 1 ELSE 0 END) = 0
+FROM customer
+UNION ALL
+SELECT 'expect_column_value_lengths_to_equal', COUNT(*),
+       CAST(SUM(CASE WHEN c_mktsegment IS NOT NULL AND LENGTH(c_mktsegment) <> 8
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN c_mktsegment IS NOT NULL AND LENGTH(c_mktsegment) <> 8
+           THEN 1 ELSE 0 END) = 0
+FROM customer
+""",
+)
+def q_validator_like_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / NOT LIKE / LIKE-list / length-between / length-equal map
+    constraints via the engine (ONE fused job for all five): ref
+    expect_column_values_to_match_like_pattern*.py,
+    column_value_lengths.py:174-207."""
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.validator import Validator
+
+    cust = _t(spark, sf_dir, "customer")
+    suite = (
+        ConstraintSuite("likes")
+        .add("expect_column_values_to_match_like_pattern",
+             column="c_name", like_pattern="Customer#%")
+        .add("expect_column_values_to_not_match_like_pattern",
+             column="c_name", like_pattern="%999")
+        .add("expect_column_values_to_match_like_pattern_list",
+             column="c_mktsegment", like_pattern_list=["B%", "A%", "F%"],
+             match_on="any")
+        .add("expect_column_value_lengths_to_be_between",
+             column="c_mktsegment", min_value=5, max_value=10)
+        .add("expect_column_value_lengths_to_equal",
+             column="c_mktsegment", value=8)
+    )
+    res = Validator(cust).validate(suite).results
+    rows = [
+        (r.constraint_type, r.element_count, r.unexpected_count, bool(r.success))
+        for r in res
+    ]
+    return spark.createDataFrame(
+        rows,
+        "ctype string, element_count long, unexpected_count long, success boolean",
+    )
+
+
+@register_query(
+    "validator_multicol_counts",
+    """
+SELECT 'expect_multicolumn_sum_to_equal' AS ctype,
+       COUNT(*) AS element_count,
+       CAST(SUM(CASE WHEN NOT (l_quantity + l_linenumber = 30) THEN 1 ELSE 0 END)
+            AS BIGINT) AS unexpected_count
+FROM lineitem
+UNION ALL
+SELECT 'expect_select_column_values_to_be_unique_within_record', COUNT(*),
+       CAST(SUM(CASE WHEN l_orderkey = l_partkey OR l_orderkey = l_suppkey
+                OR l_partkey = l_suppkey THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'expect_column_pair_values_to_be_in_set', COUNT(*),
+       CAST(SUM(CASE WHEN NOT ((l_returnflag = 'A' AND l_linestatus = 'F')
+                OR (l_returnflag = 'R' AND l_linestatus = 'F')
+                OR (l_returnflag = 'N' AND l_linestatus = 'O'))
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'expect_column_pair_values_to_be_equal', COUNT(*),
+       CAST(SUM(CASE WHEN l_returnflag <> l_linestatus THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+""",
+)
+def q_validator_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multicolumn-sum / unique-within-record / pair-in-set / pair-equal
+    map constraints via the engine (ONE fused job): ref
+    multicolumn_sum_equal.py:39-45,
+    select_column_values_unique_within_record.py:69-83,
+    column_pair_values_in_set.py:78-96, column_pair_values_equal.py:41-43."""
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.validator import Validator
+
+    li = _t(spark, sf_dir, "lineitem")
+    suite = (
+        ConstraintSuite("multicol")
+        .add("expect_multicolumn_sum_to_equal",
+             column_list=["l_quantity", "l_linenumber"], sum_total=30)
+        .add("expect_select_column_values_to_be_unique_within_record",
+             column_list=["l_orderkey", "l_partkey", "l_suppkey"])
+        .add("expect_column_pair_values_to_be_in_set",
+             column_A="l_returnflag", column_B="l_linestatus",
+             value_pairs_set=[("A", "F"), ("R", "F"), ("N", "O")])
+        .add("expect_column_pair_values_to_be_equal",
+             column_A="l_returnflag", column_B="l_linestatus")
+    )
+    res = Validator(li).validate(suite).results
+    rows = [(r.constraint_type, r.element_count, r.unexpected_count) for r in res]
+    return spark.createDataFrame(
+        rows, "ctype string, element_count long, unexpected_count long"
+    )
+
+
+@register_query(
+    "row_count_vs_other_table",
+    """
+SELECT (SELECT COUNT(*) FROM orders) AS self_rows,
+       (SELECT COUNT(*) FROM customer) AS other_rows,
+       (SELECT COUNT(*) FROM orders) = (SELECT COUNT(*) FROM customer) AS success
+""",
+)
+def q_row_count_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expect_table_row_count_to_equal_other_table via the engine's
+    cross-table context (ref
+    expect_table_row_count_to_equal_other_table.py:130-166)."""
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.validator import Validator
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    suite = ConstraintSuite("rc").add(
+        "expect_table_row_count_to_equal_other_table", other_table_name="customer"
+    )
+    r = Validator(orders, tables={"customer": cust}).validate(suite).results[0]
+    rows = [
+        (int(r.observed_value["self"]), int(r.observed_value["other"]),
+         bool(r.success))
+    ]
+    return spark.createDataFrame(
+        rows, "self_rows long, other_rows long, success boolean"
+    )
+
+
+@register_query(
+    "kl_divergence_lang",
+    """
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS o FROM documents
+  WHERE lang IN ('de','en','es','fr','zh') GROUP BY 1
+), n AS (SELECT CAST(COUNT(lang) AS DOUBLE) AS nn FROM documents)
+SELECT ROUND(SUM((o / nn) * LN((o / nn) / 0.19)), 6) AS kl_divergence,
+       SUM((o / nn) * LN((o / nn) / 0.19)) < 1.0 AS success
+FROM c, n
+""",
+)
+def q_kl_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical KL divergence vs a uniform expected partition with 5%
+    tail holdout, via the engine's fused value-count terms (ref V2
+    dataset/dataset.py:3916-4366): qk = 0.2 * 0.95 per listed value +
+    0.05 tail; the observed tail weight is 0, so its term vanishes and
+    the oracle sums only the listed values."""
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.validator import Validator
+
+    docs = _t(spark, sf_dir, "documents")
+    po = {"values": ["de", "en", "es", "fr", "zh"], "weights": [0.2] * 5}
+    suite = ConstraintSuite("kl").add(
+        "expect_column_kl_divergence_to_be_less_than",
+        column="lang", partition_object=po, threshold=1.0,
+        tail_weight_holdout=0.05,
+    )
+    r = Validator(docs).validate(suite).results[0]
+    rows = [(round(float(r.observed_value), 6), bool(r.success))]
+    return spark.createDataFrame(rows, "kl_divergence double, success boolean")
+
+
+@register_query(
+    "drift_chi2_lang",
+    """
+WITH obs AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS o FROM documents
+  WHERE lang IS NOT NULL GROUP BY 1
+),
+base(lang, b) AS (
+  VALUES ('de', 250.0), ('en', 250.0), ('es', 200.0), ('fr', 150.0), ('zh', 150.0)
+),
+j AS (
+  SELECT COALESCE(obs.o, 0) AS o, COALESCE(base.b, 0) AS b
+  FROM obs FULL OUTER JOIN base ON obs.lang = base.lang
+),
+t AS (SELECT SUM(o) AS r1, SUM(b) AS r2 FROM j)
+SELECT ROUND(SUM(
+         POW(o - r1 * (o + b) / (r1 + r2), 2) / (r1 * (o + b) / (r1 + r2))
+       + POW(b - r2 * (o + b) / (r1 + r2), 2) / (r2 * (o + b) / (r1 + r2))
+       ), 6) AS chi2_stat,
+       CAST(5 AS BIGINT) AS dof
+FROM j, t
+""",
+)
+def q_drift_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift vs a stored categorical baseline — the engine's
+    two-sample chi-square over fused value counts (the north-rule drift
+    check; functions/stats.py chi2_contingency). The oracle recomputes
+    the 2 x (k+1) contingency statistic; the zero observed/baseline tail
+    column contributes 0 to the stat and 1 to dof, matching numpy's
+    (r-1)(c-1) with the tail column included (dof = 5)."""
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.validator import Validator
+
+    docs = _t(spark, sf_dir, "documents")
+    baseline = {
+        "values": ["de", "en", "es", "fr", "zh"],
+        "weights": [0.25, 0.25, 0.2, 0.15, 0.15],
+        "n": 1000,
+    }
+    suite = ConstraintSuite("drift").add(
+        "expect_column_distribution_to_match_baseline",
+        column="lang", baseline=baseline, p=0.05,
+    )
+    r = Validator(docs).validate(suite).results[0]
+    rows = [(round(float(r.details["chi2"]), 6), int(r.details["dof"]))]
+    return spark.createDataFrame(rows, "chi2_stat double, dof long")
+
+
+@register_query(
+    "splitter_counts",
+    """
+SELECT 'mod_orderkey_8_3' AS split, COUNT(*) AS n FROM orders WHERE o_orderkey % 8 = 3
+UNION ALL
+SELECT 'div_orderkey_1000_2', COUNT(*) FROM orders
+WHERE CAST(FLOOR(o_orderkey / 1000) AS INT) = 2
+UNION ALL
+SELECT 'status_F', COUNT(*) FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT 'multi_status_priority', COUNT(*) FROM orders
+WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT 'month_1996_03', COUNT(*) FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'
+UNION ALL
+SELECT 'sample_mod_custkey_10_7', COUNT(*) FROM orders WHERE o_custkey % 10 = 7
+UNION ALL
+SELECT 'sample_list_priority', COUNT(*) FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+""",
+)
+def q_splitter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch splitters + samplers (sources/splitters.py; ref
+    sparkdf_execution_engine.py:698-864) — one count per split predicate,
+    all UNIONed into one DataFrame. The hash splitters (xxhash64) have no
+    DuckDB analogue and are pytest-covered instead."""
+    from data_profiler_spark.sources import splitters as sp
+
+    o = _t(spark, sf_dir, "orders")
+    parts = [
+        ("mod_orderkey_8_3", sp.split_on_mod_integer(o, "o_orderkey", 8, 3)),
+        ("div_orderkey_1000_2", sp.split_on_divided_integer(o, "o_orderkey", 1000, 2)),
+        ("status_F", sp.split_on_column_value(o, "o_orderstatus", "F")),
+        ("multi_status_priority", sp.split_on_multi_column_values(
+            o, {"o_orderstatus": "O", "o_orderpriority": "1-URGENT"})),
+        ("month_1996_03", sp.split_on_converted_datetime(
+            o, "o_orderdate", "yyyy-MM", "1996-03")),
+        ("sample_mod_custkey_10_7", sp.sample_using_mod(o, "o_custkey", 10, 7)),
+        ("sample_list_priority", sp.sample_using_a_list(
+            o, "o_orderpriority", ["1-URGENT", "5-LOW"])),
+    ]
+    counted = [
+        df.agg(F.lit(name).alias("split"), F.count(F.lit(1)).alias("n"))
+        for name, df in parts
+    ]
+    out = counted[0]
+    for c in counted[1:]:
+        out = out.unionByName(c)
+    return out

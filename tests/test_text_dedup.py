@@ -347,3 +347,52 @@ def test_containment_auto_broadcast_switch(spark):
         assert res_auto[0][0] == 1 and res_auto[0][1] == 3
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", default_thr)
+
+
+def test_connected_components_clusters(spark):
+    """Chain, pair, cycle-with-tail, and a filtered self-loop: every node
+    lands in the component of its min id; roots map to themselves."""
+    from data_profiler_spark.operators.dedup import connected_components
+
+    pairs = [(2, 1), (3, 2), (4, 3), (5, 4), (10, 11),
+             (20, 21), (21, 22), (20, 22), (22, 23), (7, 7)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {(r.node, r.component) for r in connected_components(df).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+                   (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20), (23, 20)}
+
+
+def test_connected_components_star_converges_fast(spark):
+    """An already-star input is a fixpoint: one verification round, exact
+    output, and duplicate / reversed edges collapse."""
+    from data_profiler_spark.operators.dedup import connected_components
+
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 1), (1, 2)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {(r.node, r.component) for r in connected_components(df).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1)}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random-ish deterministic graph vs a driver-side union-find oracle."""
+    from data_profiler_spark.operators.dedup import connected_components
+
+    pairs = [((i * 7919) % 97, (i * 104729) % 97) for i in range(60)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {(n, find(n)) for n in parent}
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {(r.node, r.component) for r in connected_components(df).collect()}
+    assert got == expect
