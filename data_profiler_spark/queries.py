@@ -1948,3 +1948,86 @@ def q_splitter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counted[1:]:
         out = out.unionByName(c)
     return out
+
+
+_EMB_CLUSTERS_ORACLE = """
+WITH RECURSIVE nc AS (
+  SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 500.0) AS BIGINT)) AS c FROM embeddings
+), ranked_vecs AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings
+), cents AS (
+  SELECT centroid_id, cvec FROM ranked_vecs, nc WHERE centroid_id < nc.c
+), scored AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS csim
+  FROM embeddings e, cents c
+), assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT vec_id, v, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b WHERE e.b <> r.a
+)
+SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+"""
+
+
+@register_query("embedding_dedup_clusters", _EMB_CLUSTERS_ORACLE)
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end: IVF-bucketed cosine near-dup pairs ->
+    connected components -> (vec_id, cluster_id = component min). The two
+    stages compose without materialization barriers; the oracle closes
+    the same deterministic pair set with a recursive CTE."""
+    from data_profiler_spark.operators.dedup import connected_components
+    from data_profiler_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.3, target_bucket=500
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@register_query(
+    "stratified_sample_counts",
+    """
+WITH sampled AS (
+  SELECT lang FROM documents
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+        < CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.5 WHEN 'de' THEN 1.0
+                    ELSE 0.75 END * 10000
+)
+SELECT lang, COUNT(*) AS kept FROM sampled GROUP BY lang
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus rebalancing
+    (sources/splitters.py sample_stratified_by_hash): downsample dominant
+    languages by an md5-keyed Bernoulli that is bit-identical across
+    engines and runs — kept counts per language prove the exact survivor
+    set, not just the rate."""
+    from data_profiler_spark.sources.splitters import sample_stratified_by_hash
+
+    d = _t(spark, sf_dir, "documents")
+    kept = sample_stratified_by_hash(
+        d, "lang", "doc_id",
+        fractions={"en": 0.25, "zh": 0.5, "de": 1.0},
+        default_fraction=0.75,
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))

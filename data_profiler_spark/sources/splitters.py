@@ -74,3 +74,29 @@ def sample_using_hash(df: DataFrame, column: str, buckets: int = 10, value: int 
     (sparkdf_execution_engine.py:832-864): deterministic, seedable via the
     bucket count, and pushes into codegen."""
     return df.where(hash_bucket(F.col(column), buckets) == F.lit(value))
+
+
+def sample_stratified_by_hash(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[Any, float],
+    default_fraction: float = 1.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic stratified sampling — the training-data rebalancing
+    primitive (e.g. downsample dominant languages to a target mix). A row
+    survives iff md5(key) mod buckets < fraction(stratum) * buckets, so
+    the sample is reproducible run-to-run, independent of partitioning,
+    and exactly portable to any engine with md5 (unlike rand()/xxhash64).
+
+    Scale: pure narrow projection+filter — no shuffle, no sampling state,
+    pushes into whole-stage codegen; fraction resolution is a literal CASE
+    chain over the (small) strata map, never a join."""
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % buckets
+    frac: Column = F.lit(float(default_fraction))
+    for value, f in sorted(fractions.items(), key=lambda kv: str(kv[0])):
+        frac = F.when(F.col(strata_col) == F.lit(value), float(f)).otherwise(frac)
+    return df.where(bucket < frac * buckets)

@@ -337,6 +337,33 @@ def test_splitters_samplers(spark):
     assert s.count() == S.sample_using_hash(df, "id", buckets=5, value=2).count()
 
 
+def test_stratified_hash_sampler(spark):
+    """Per-stratum rates land near the requested fractions, fraction 1.0
+    keeps everything, 0.0 drops everything, and the survivor SET (not just
+    the count) is identical run-to-run."""
+    from data_profiler_spark.sources import splitters as S
+
+    df = spark.range(4000).withColumn(
+        "g", F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+    )
+    kept = S.sample_stratified_by_hash(
+        df, "g", "id", fractions={"a": 0.5, "b": 1.0}
+    )
+    by_g = {r["g"]: r["n"] for r in kept.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert by_g["b"] == 2000  # fraction 1.0 keeps the whole stratum
+    assert 800 < by_g["a"] < 1200  # ~50% of 2000, md5-uniform
+    none = S.sample_stratified_by_hash(df, "g", "id", fractions={"a": 0.0, "b": 0.0})
+    assert none.count() == 0
+    ids1 = sorted(r["id"] for r in kept.select("id").collect())
+    ids2 = sorted(
+        r["id"]
+        for r in S.sample_stratified_by_hash(
+            df, "g", "id", fractions={"a": 0.5, "b": 1.0}
+        ).select("id").collect()
+    )
+    assert ids1 == ids2
+
+
 def test_embedding_near_dups_no_cross_join(spark):
     """VERDICT r1 #3: the near-dup plan must be bucket-joined, never an
     all-pairs cartesian."""
