@@ -60,6 +60,7 @@ HEADLINE = [
     "embedding_topk",
     "embedding_topk_ivf",
     "embedding_near_dups",
+    "embedding_dedup_clusters",
     "langid_confusion",
     "north_profile_by_lang",
     "north_verdicts",

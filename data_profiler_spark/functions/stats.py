@@ -297,3 +297,27 @@ def kl_divergence(pk, qk) -> float:
     if np.any((p > 0) & (q == 0)):
         return float("inf")
     return float(np.sum(terms))
+
+
+def chi2_critical(dof: int, alpha: float = 0.05) -> float:
+    """Inverse survival function: the stat value where chi2_sf == alpha.
+
+    Bisection on the (monotone) survival function — a few dozen driver-side
+    evaluations, used to push streaming drift verdicts into pure Column
+    math (stat < critical) where no per-row Python can run."""
+    if dof <= 0 or not (0.0 < alpha < 1.0):
+        return float("nan")
+    lo, hi = 0.0, float(dof)
+    while chi2_sf(hi, dof) > alpha:
+        hi *= 2.0
+        if hi > 1e12:  # pathological alpha
+            return hi
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if chi2_sf(mid, dof) > alpha:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo <= 1e-12 * max(1.0, hi):
+            break
+    return (lo + hi) / 2.0

@@ -186,3 +186,73 @@ def _parse_duration_sec(s: str) -> float:
     unit = unit.rstrip("s")
     mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
     return float(n) * mult
+
+
+def streaming_drift(
+    stream: DataFrame,
+    time_col: str,
+    column: str,
+    baseline: dict,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Continuous categorical drift detection: per event-time window, a
+    two-sample chi-square of the window's value counts against a stored
+    baseline profile ({"values", "weights", "n"} — the batch c_drift /
+    FIXTURES.md §3 shape).
+
+    Everything stays in Column math: per-value counts are fused
+    conditional sums in ONE windowed aggregation, the 2 x (k+1)
+    contingency statistic is closed-form arithmetic over those counts,
+    and the verdict compares the statistic against the chi-square
+    critical value for (alpha, dof=k) resolved driver-side at PLAN time
+    (functions/stats.py chi2_critical) — no UDF, no foreachBatch, so the
+    check runs in every micro-batch at executor speed and the state is
+    just the windowed aggregation's. dof counts the unlisted-values tail
+    column (zero-expected cells contribute 0 to the stat, matching the
+    batch chi2_contingency)."""
+    from data_profiler_spark.functions import stats
+
+    values = list(baseline["values"])
+    weights = [float(w) for w in baseline["weights"]]
+    n2 = float(baseline.get("n", 0) or 0)
+    if stream.schema[time_col].dataType.typeName() != "timestamp":
+        stream = stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    col = F.col(column)
+    aggs = [
+        F.sum(F.when(col.eqNullSafe(F.lit(v)), 1).otherwise(0)).alias(f"__o_{i}")
+        for i, v in enumerate(values)
+    ]
+    listed = col.isin(values) if values else F.lit(False)
+    aggs.append(
+        F.sum(F.when(col.isNotNull() & ~listed, 1).otherwise(0)).alias("__o_other")
+    )
+    agged = (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("win"))
+        .agg(*aggs)
+    )
+    obs = [F.col(f"__o_{i}") for i in range(len(values))] + [F.col("__o_other")]
+    base = [F.lit(w * n2) for w in weights] + [F.lit(0.0)]
+    r1 = obs[0]
+    for o in obs[1:]:
+        r1 = r1 + o
+    n_total = r1 + F.lit(n2)
+    stat = F.lit(0.0)
+    for o, b in zip(obs, base):
+        c = o + b
+        e1 = r1 * c / n_total
+        e2 = F.lit(n2) * c / n_total
+        term1 = F.when(c > 0, (o - e1) * (o - e1) / e1).otherwise(0.0)
+        term2 = F.when((c > 0) & (F.lit(n2) > 0), (b - e2) * (b - e2) / e2).otherwise(0.0)
+        stat = stat + term1 + term2
+    dof = len(values)  # (2-1) * ((k+1) - 1), tail column included
+    critical = float(stats.chi2_critical(dof, alpha))
+    return agged.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        r1.cast("long").alias("n"),
+        stat.alias("chi2_stat"),
+        (stat >= F.lit(critical)).alias("drift_detected"),
+    )

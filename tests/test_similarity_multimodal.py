@@ -665,3 +665,68 @@ def test_basic_suite_end_to_end(spark):
     res = Validator(df).validate(suite)
     failed = [r for r in res.results if not r.success]
     assert failed == [], [(r.constraint_type, r.kwargs) for r in failed]
+
+
+def test_streaming_drift(spark, tmp_path):
+    """Windowed two-sample chi-square vs a baseline: the statistic matches
+    the batch chi2_contingency per window, and a deliberately skewed
+    baseline flips drift_detected."""
+    from data_profiler_spark.functions import stats
+    from data_profiler_spark.streaming.profile_stream import streaming_drift
+
+    src = str(tmp_path / "drift_src")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(src)
+    batch = spark.read.parquet(src)
+    types = sorted(
+        r["event_type"]
+        for r in batch.select("event_type").distinct().collect()
+        if r["event_type"] is not None
+    )
+    k = len(types)
+    matched = {"values": types, "weights": [1.0 / k] * k, "n": 10_000}
+
+    # batch equivalence: the same Column pipeline runs on a static frame
+    out = {
+        r["window_start"]: r
+        for r in streaming_drift(
+            batch, "ts", "event_type", matched, window="1 day"
+        ).collect()
+    }
+    counts = {
+        (r["d"], r["event_type"]): r["n"]
+        for r in batch.groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"),
+            "event_type",
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    for ws, row in out.items():
+        obs = [counts.get((ws, t), 0) for t in types] + [
+            counts.get((ws, None), 0)
+        ]
+        base = [w * matched["n"] for w in matched["weights"]] + [0.0]
+        stat, _, dof = stats.chi2_contingency([obs, base])
+        assert abs(row["chi2_stat"] - stat) < 1e-6
+        assert dof == k
+
+    # streaming smoke + verdict flip on a skewed baseline
+    schema = batch.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    skewed = {
+        "values": types,
+        "weights": [0.97] + [0.03 / (k - 1)] * (k - 1),
+        "n": 10_000,
+    }
+    agg = streaming_drift(stream, "ts", "event_type", skewed, window="1 day")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_drift_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM stream_drift_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) > 0
+    assert all(r["drift_detected"] for r in rows)  # uniform data vs 97% skew
