@@ -2031,3 +2031,105 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_fraction=0.75,
     )
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))
+
+
+@register_query(
+    "json_parseable_counts",
+    """
+WITH derived AS (
+  SELECT CASE WHEN event_id % 7 = 0
+              THEN substr(props, 1, LENGTH(props) - 1)  -- drop '}' -> invalid
+              ELSE props END AS p
+  FROM events
+)
+SELECT COUNT(*) AS element_count,
+       CAST(SUM(CASE WHEN p IS NOT NULL AND NOT json_valid(p) THEN 1 ELSE 0 END)
+            AS BIGINT) AS unexpected_count,
+       SUM(CASE WHEN p IS NOT NULL AND NOT json_valid(p) THEN 1 ELSE 0 END) = 0
+         AS success
+FROM derived
+""",
+)
+def q_json_parseable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expect_column_values_to_be_json_parseable via the engine's
+    Arrow-batched pandas_udf (ref column_values_json_parseable.py:29-39) —
+    every 7th props string is deterministically truncated so the check
+    discriminates; the oracle reproduces the corruption and counts with
+    DuckDB's json_valid."""
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.validator import Validator
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "p",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.expr("substring(props, 1, length(props) - 1)"),
+        ).otherwise(F.col("props")),
+    )
+    suite = ConstraintSuite("json").add(
+        "expect_column_values_to_be_json_parseable", column="p"
+    )
+    r = Validator(ev).validate(suite).results[0]
+    rows = [(r.element_count, r.unexpected_count, bool(r.success))]
+    return spark.createDataFrame(
+        rows, "element_count long, unexpected_count long, success boolean"
+    )
+
+
+@register_query(
+    "strftime_match_counts",
+    """
+WITH derived AS (
+  SELECT CASE WHEN event_id % 11 = 0 THEN strftime(ts, '%Y-%m-%d') || '-x'
+              WHEN event_id % 13 = 0 THEN strftime(ts, '%Y-13-%d')
+              ELSE strftime(ts, '%Y-%m-%d') END AS s
+  FROM events
+),
+checked AS (
+  SELECT s,
+         TRY_STRPTIME(s, '%Y-%m-%d') IS NOT NULL
+         AND LENGTH(s) = LENGTH(STRFTIME(TRY_STRPTIME(s, '%Y-%m-%d'), '%Y-%m-%d'))
+           AS ok
+  FROM derived
+)
+SELECT COUNT(*) AS element_count,
+       CAST(SUM(CASE WHEN s IS NOT NULL AND NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS unexpected_count,
+       SUM(CASE WHEN s IS NOT NULL AND NOT ok THEN 1 ELSE 0 END) = 0 AS success
+FROM checked
+""",
+)
+def q_strftime_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expect_column_values_to_match_strftime_format via the engine's
+    native try_to_timestamp + round-trip-length path (ref
+    column_values_match_strftime_format.py:34-58): date strings derived
+    from events.ts with every 11th given trailing garbage and every 13th
+    an out-of-range month, so both failure modes (unparseable suffix,
+    invalid calendar value) are counted; the oracle mirrors with DuckDB
+    TRY_STRPTIME + the same round-trip guard."""
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.validator import Validator
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "s",
+        F.when(
+            F.col("event_id") % 11 == 0,
+            F.concat(F.date_format("ts", "yyyy-MM-dd"), F.lit("-x")),
+        )
+        .when(
+            F.col("event_id") % 13 == 0,
+            F.concat(
+                F.date_format("ts", "yyyy"), F.lit("-13-"), F.date_format("ts", "dd")
+            ),
+        )
+        .otherwise(F.date_format("ts", "yyyy-MM-dd")),
+    )
+    suite = ConstraintSuite("strf").add(
+        "expect_column_values_to_match_strftime_format",
+        column="s", strftime_format="%Y-%m-%d",
+    )
+    r = Validator(ev).validate(suite).results[0]
+    rows = [(r.element_count, r.unexpected_count, bool(r.success))]
+    return spark.createDataFrame(
+        rows, "element_count long, unexpected_count long, success boolean"
+    )
