@@ -496,26 +496,32 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Dedup clustering: (node, component) for every node appearing in
     ``pairs``, where component = the MIN node id of its connected
     component. Completes the near-dup pipeline (pairs -> clusters ->
     canonical survivor); the reference has no graph operator at all.
 
-    Algorithm: alternating large-star / small-star (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14) — converges
-    in O(log n) rounds on any graph, vs O(diameter) for naive label
-    propagation. Each round is two groupBy+join stages whose shuffle is
-    bounded by the CURRENT edge set (which only shrinks toward one edge
-    per non-root node); nothing is ever collected to the driver and no
-    adjacency list is materialized, so a 100-TB pair set just means wider
-    shuffles. ``localCheckpoint`` truncates the per-round lineage so the
-    plan doesn't grow exponentially across iterations.
+    Two physical strategies, identical results (same pattern as the
+    kmeans driver/distributed auto-switch in similarity.py):
 
-    Convergence is detected with a one-job fingerprint
-    (count + sum(xxhash64)) of the edge set instead of a subtract-join:
-    the alternating rounds are monotone toward the star fixpoint, so two
-    consecutive identical edge sets mean converged.
+    - edge count <= ``driver_max_edges``: Arrow-collect the (deduped)
+      edge list and union-find at the driver. Near-dup pair sets are
+      tiny relative to the corpus (pairs ≪ rows even at 100 TB when
+      thresholds are meaningful), and at bench scale the distributed
+      rounds are pure fixed cost: each iteration is a 4-shuffle AQE job
+      plus a checkpoint, ~2-3 s regardless of data. 2M edges is ~32 MB
+      over Arrow and ~2 s of union-find.
+    - above the threshold: alternating large-star / small-star (Kiveris
+      et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+      O(log n) rounds, each two groupBy+join stages whose shuffle is
+      bounded by the CURRENT edge set; nothing unbounded ever reaches
+      the driver, so a 100-TB pair set just means wider shuffles.
+      ``localCheckpoint`` truncates per-round lineage; convergence is a
+      one-job fingerprint (count + decimal hash sum) of the edge set —
+      the rounds are monotone toward the star fixpoint, so two
+      consecutive identical edge sets mean converged.
     """
     edges = (
         pairs.select(
@@ -525,6 +531,24 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    spark = pairs.sparkSession
+    if edges.count() <= driver_max_edges:
+        pdf = edges.toPandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min keeps every root = its component's min id
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(n, find(n)) for n in parent]
+        return spark.createDataFrame(rows, "node long, component long")
     prev_fp: tuple | None = None
     for _ in range(max_iter):
         # large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})

@@ -357,10 +357,18 @@ def test_connected_components_clusters(spark):
     pairs = [(2, 1), (3, 2), (4, 3), (5, 4), (10, 11),
              (20, 21), (21, 22), (20, 22), (22, 23), (7, 7)]
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    expect = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+              (10, 10), (11, 10),
+              (20, 20), (21, 20), (22, 20), (23, 20)}
+    # driver union-find path (default) and distributed star rounds
+    # (forced via driver_max_edges=0) must agree exactly
     got = {(r.node, r.component) for r in connected_components(df).collect()}
-    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
-                   (10, 10), (11, 10),
-                   (20, 20), (21, 20), (22, 20), (23, 20)}
+    assert got == expect
+    got_dist = {
+        (r.node, r.component)
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert got_dist == expect
 
 
 def test_connected_components_star_converges_fast(spark):
@@ -394,5 +402,10 @@ def test_connected_components_matches_union_find(spark):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {(n, find(n)) for n in parent}
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
-    got = {(r.node, r.component) for r in connected_components(df).collect()}
+    # force the DISTRIBUTED star rounds (the driver path IS a union-find —
+    # comparing it to itself would prove nothing)
+    got = {
+        (r.node, r.component)
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
     assert got == expect
