@@ -256,3 +256,80 @@ def streaming_drift(
         stat.alias("chi2_stat"),
         (stat >= F.lit(critical)).alias("drift_detected"),
     )
+
+
+def streaming_drift_ks(
+    stream: DataFrame,
+    time_col: str,
+    column: str,
+    baseline: dict,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Continuous-column drift detection: per event-time window, a
+    two-sample KS test of the window's histogram (on the BASELINE's bin
+    edges) against the stored baseline sketch ({"bins", "weights", "n"} —
+    the batch c_drift continuous shape, FIXTURES.md §3).
+
+    Same no-UDF design as ``streaming_drift``: per-bin counts are fused
+    conditional sums in ONE windowed aggregation; D = max |CDF1 - CDF2|
+    over bin boundaries is a closed-form expression over those counts
+    (exactly functions/stats.py ks_2samp_from_hist); and the verdict
+    compares D against K_alpha / (en + 0.12 + 0.11/en) with the
+    Kolmogorov critical value K_alpha resolved driver-side at plan time
+    (stats.kolmogorov_critical) and en = sqrt(n1*n2/(n1+n2)) computed per
+    window in Column math — Stephens' correction included, so the verdict
+    is bit-identical to the batch path's p <= alpha decision."""
+    from data_profiler_spark.functions import stats
+
+    bins = [float(b) for b in baseline["bins"]]
+    base_w = [float(w) for w in baseline["weights"]]  # per internal bin
+    n2 = float(baseline.get("n", 0) or 0)
+    if len(base_w) != len(bins) - 1:
+        raise ValueError(
+            f"weights ({len(base_w)}) must cover the {len(bins) - 1} bins"
+        )
+    if stream.schema[time_col].dataType.typeName() != "timestamp":
+        stream = stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    col = F.col(column)
+    # per-bin conditional sums + below/above tails (baseline tails = 0)
+    conds = [(col < bins[0]).alias("below")]
+    for i in range(len(bins) - 1):
+        lo, hi = bins[i], bins[i + 1]
+        upper = (col <= hi) if i == len(bins) - 2 else (col < hi)
+        conds.append(((col >= lo) & upper).alias(f"bin_{i}"))
+    conds.append((col > bins[-1]).alias("above"))
+    aggs = [
+        F.sum(F.when(c & col.isNotNull(), 1).otherwise(0)).alias(f"__h_{i}")
+        for i, c in enumerate(conds)
+    ]
+    agged = (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("win"))
+        .agg(*aggs)
+    )
+    obs = [F.col(f"__h_{i}") for i in range(len(conds))]
+    base = [0.0] + base_w + [0.0]  # tails carry no baseline mass
+    n1 = obs[0]
+    for o in obs[1:]:
+        n1 = n1 + o
+    b_tot = sum(base) * n2
+    d = F.lit(0.0)
+    cum_o: Column = F.lit(0.0)
+    cum_b = 0.0
+    for o, b in zip(obs, base):
+        cum_o = cum_o + o
+        cum_b += b * n2
+        gap = F.abs(cum_o / n1 - F.lit(cum_b / b_tot if b_tot else 0.0))
+        d = F.greatest(d, gap)
+    k_alpha = float(stats.kolmogorov_critical(alpha))
+    en = F.sqrt(n1 * F.lit(n2) / (n1 + F.lit(n2)))
+    critical = F.lit(k_alpha) / (en + 0.12 + 0.11 / en)
+    return agged.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        n1.cast("long").alias("n"),
+        d.alias("ks_stat"),
+        (d >= critical).alias("drift_detected"),
+    )

@@ -730,3 +730,80 @@ def test_streaming_drift(spark, tmp_path):
         q.stop()
     assert len(rows) > 0
     assert all(r["drift_detected"] for r in rows)  # uniform data vs 97% skew
+
+
+def test_streaming_drift_ks(spark, tmp_path):
+    """Continuous drift: per-window KS statistic matches
+    stats.ks_2samp_from_hist on the same histogram, and the verdict
+    equals the batch p <= alpha decision (Stephens-corrected)."""
+    from data_profiler_spark.functions import stats
+    from data_profiler_spark.streaming.profile_stream import streaming_drift_ks
+
+    src = str(tmp_path / "driftks_src")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(src)
+    batch = spark.read.parquet(src)
+    bins = [0.0, 25.0, 50.0, 75.0, 100.0]
+    # baseline deliberately bottom-heavy vs the roughly uniform data
+    baseline = {"bins": bins, "weights": [0.7, 0.1, 0.1, 0.1], "n": 5000}
+
+    out = streaming_drift_ks(
+        batch, "ts", "value", baseline, window="1 day", alpha=0.05
+    ).collect()
+    assert len(out) > 0
+    vals_by_day: dict = {}
+    for r in batch.select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"), "value"
+    ).collect():
+        vals_by_day.setdefault(r["d"], []).append(r["value"])
+    for row in out:
+        vals = [v for v in vals_by_day[row["window_start"]] if v is not None]
+        counts = [sum(1 for v in vals if v < bins[0])]
+        for i in range(len(bins) - 1):
+            if i == len(bins) - 2:
+                counts.append(sum(1 for v in vals if bins[i] <= v <= bins[i + 1]))
+            else:
+                counts.append(sum(1 for v in vals if bins[i] <= v < bins[i + 1]))
+        counts.append(sum(1 for v in vals if v > bins[-1]))
+        w2 = [0.0] + [w * baseline["n"] for w in baseline["weights"]] + [0.0]
+        d, p = stats.ks_2samp_from_hist(counts, w2, len(vals), baseline["n"])
+        assert row["n"] == len(vals)
+        assert abs(row["ks_stat"] - d) < 1e-9
+        assert row["drift_detected"] == (p <= 0.05)
+
+    # one big window has the power the tiny daily ones may lack:
+    # roughly-uniform data vs a 70%-bottom-bin baseline must drift
+    big = streaming_drift_ks(
+        batch, "ts", "value", baseline, window="30 days", alpha=0.05
+    ).collect()
+    assert any(r["drift_detected"] for r in big)
+
+    # matched baseline -> no drift
+    import numpy as np
+
+    allv = [v for vs in vals_by_day.values() for v in vs if v is not None]
+    hist, _ = np.histogram(allv, bins=bins)
+    matched = {
+        "bins": bins,
+        "weights": [float(h) / len(allv) for h in hist],
+        "n": 100_000,
+    }
+    out2 = streaming_drift_ks(
+        batch, "ts", "value", matched, window="7 days", alpha=0.001
+    ).collect()
+    assert any(not r["drift_detected"] for r in out2)
+
+    # streaming smoke
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    agg = streaming_drift_ks(stream, "ts", "value", baseline, window="1 day")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_driftks_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM stream_driftks_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) == len(out)
