@@ -2133,3 +2133,77 @@ def q_strftime_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "element_count long, unexpected_count long, success boolean"
     )
+
+
+@register_query(
+    "table_schema_checks",
+    """
+WITH sch AS (
+  SELECT column_name,
+         CASE column_type
+           WHEN 'BIGINT' THEN 'bigint' WHEN 'INTEGER' THEN 'int'
+           WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+           WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+           ELSE lower(column_type) END AS t
+  FROM (DESCRIBE lineitem)
+)
+SELECT 'column_count' AS metric,
+       CAST((SELECT COUNT(*) FROM sch) AS VARCHAR) AS observed,
+       (SELECT COUNT(*) FROM sch) = 11 AS success
+UNION ALL
+SELECT 'ordered_columns', (SELECT string_agg(column_name, ',') FROM sch),
+       (SELECT string_agg(column_name, ',') FROM sch) =
+       'l_orderkey,l_partkey,l_suppkey,l_linenumber,l_quantity,'
+       || 'l_extendedprice,l_discount,l_tax,l_returnflag,l_linestatus,'
+       || 'l_shipdate'
+UNION ALL
+SELECT 'quantity_exists', 'True',
+       (SELECT COUNT(*) FROM sch WHERE column_name = 'l_quantity') = 1
+UNION ALL
+SELECT 'quantity_type',
+       (SELECT t FROM sch WHERE column_name = 'l_quantity'),
+       (SELECT t FROM sch WHERE column_name = 'l_quantity') = 'double'
+UNION ALL
+SELECT 'orderkey_type',
+       (SELECT t FROM sch WHERE column_name = 'l_orderkey'),
+       (SELECT t FROM sch WHERE column_name = 'l_orderkey') = 'bigint'
+""",
+)
+def q_table_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-shape constraint family via the engine (ref
+    table_column_count.py:20-57, table_columns.py:25-62,
+    expect_column_values_to_be_of_type.py:311-332): column count, ordered
+    column list, column existence, and dtype checks — the oracle reads
+    DuckDB's DESCRIBE with a type-name normalization map (parquet
+    unadjusted timestamps read as timestamp_ntz in Spark 4, TIMESTAMP in
+    DuckDB)."""
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.validator import Validator
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ]
+    suite = (
+        ConstraintSuite("schema")
+        .add("expect_table_column_count_to_equal", value=11)
+        .add("expect_table_columns_to_match_ordered_list", column_list=cols)
+        .add("expect_column_to_exist", column="l_quantity")
+        .add("expect_column_values_to_be_of_type",
+             column="l_quantity", type_="DoubleType")
+        .add("expect_column_values_to_be_of_type",
+             column="l_orderkey", type_="LongType")
+    )
+    res = Validator(li).validate(suite).results
+    rows = [
+        ("column_count", str(res[0].observed_value), bool(res[0].success)),
+        ("ordered_columns", ",".join(res[1].observed_value), bool(res[1].success)),
+        ("quantity_exists", str(res[2].observed_value), bool(res[2].success)),
+        ("quantity_type", str(res[3].observed_value), bool(res[3].success)),
+        ("orderkey_type", str(res[4].observed_value), bool(res[4].success)),
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, observed string, success boolean"
+    )
