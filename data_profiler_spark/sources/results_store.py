@@ -123,3 +123,43 @@ class ResultsStore:
         if snapshot_id is not None:
             df = df.where(F.col("snapshot_id") == snapshot_id)
         return df
+
+    # ------------------------------------------------------------------
+    def evaluation_parameters(
+        self,
+        suite_fingerprint: str,
+        run_id: str | None = None,
+        snapshot_id: str | None = None,
+    ) -> dict[str, Any]:
+        """URN-style evaluation parameters from stored verdicts — the
+        Spark-native form of the reference's
+        ``urn:data_profiler:validations:<suite>:<metric>`` resolution
+        (core/evaluation_parameters.py:98-132, core/urn.py): downstream
+        suites pin thresholds to a PRIOR run's observed results via
+        ``{"$PARAMETER": "urn:validations:<constraint_id>:<field>"}``.
+
+        For the latest run (by started_at_ms; or an explicit ``run_id``)
+        every verdict row contributes observed_value / element_count /
+        unexpected_count / success under the constraint's stable
+        fingerprint id; grouped runs get a ``:<group_json>`` suffix per
+        group. The collect is bounded by one suite's verdict rows for one
+        run — never the whole store."""
+        import json as _json
+
+        df = self.verdicts(suite_fingerprint, snapshot_id)
+        if run_id is None:
+            row = df.agg(F.max_by("run_id", "started_at_ms").alias("r")).first()
+            run_id = row["r"] if row else None
+            if run_id is None:
+                return {}
+        params: dict[str, Any] = {}
+        for r in df.where(F.col("run_id") == run_id).collect():
+            obs = _json.loads(r["observed_json"] or "{}")
+            group = r["group_json"]
+            suffix = "" if group in (None, "", "{}") else f":{group}"
+            base = f"urn:validations:{r['constraint_id']}"
+            params[f"{base}:observed_value{suffix}"] = obs.get("observed_value")
+            params[f"{base}:element_count{suffix}"] = r["element_count"]
+            params[f"{base}:unexpected_count{suffix}"] = r["unexpected_count"]
+            params[f"{base}:success{suffix}"] = bool(r["success"])
+        return params

@@ -192,3 +192,48 @@ def test_violation_samples_prepared_overlap(spark, code_tables, suite):
     failed = {r.constraint_id for r in res.results if not r.success}
     assert failed <= set(prepared)
     assert {r["constraint_id"] for r in via_prep.collect()} <= failed
+
+
+def test_evaluation_parameters_from_store(spark, code_tables, tmp_path):
+    """The URN flow: run suite A through the checkpoint runner, resolve
+    its stored observed values as evaluation parameters, and pin a
+    downstream suite's expectation to the prior run via $PARAMETER."""
+    files, commits = code_tables
+    store = ResultsStore(spark, str(tmp_path / "results"))
+    suite_a = ConstraintSuite("upstream").add(
+        "expect_table_row_count_to_be_between", min_value=0
+    )
+    df = add_partition_column(files, n_buckets=4, cols=["repo", "path"])
+    CheckpointRunner(store).run(df, suite_a, partition_col="partition_id")
+
+    params = store.evaluation_parameters(suite_a.fingerprint)
+    cid = suite_a.constraints[0].id
+    # grouped run: one observed row count per partition, keyed by group
+    counts = {
+        k: v for k, v in params.items()
+        if k.startswith(f"urn:validations:{cid}:observed_value")
+    }
+    assert counts and sum(counts.values()) == files.count()
+    assert all(
+        params[k.replace(":observed_value", ":success")] for k in counts
+    )
+
+    # downstream: expect THIS run's total to equal the stored per-group
+    # counts' sum, resolved via $PARAMETER at compile time
+    from data_profiler_spark.validator import Validator
+
+    total_key = "prior_total"
+    suite_b = ConstraintSuite("downstream").add(
+        "expect_table_row_count_to_equal", value={"$PARAMETER": total_key}
+    )
+    v = Validator(
+        files, evaluation_parameters={total_key: sum(counts.values())}
+    )
+    res = v.validate(suite_b).results[0]
+    assert res.success and res.observed_value == files.count()
+
+    # explicit run_id selection returns the same parameters
+    run_id = next(iter({
+        r["run_id"] for r in store.read().select("run_id").collect()
+    }))
+    assert store.evaluation_parameters(suite_a.fingerprint, run_id=run_id) == params
