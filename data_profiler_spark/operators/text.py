@@ -307,3 +307,92 @@ def repetition_features(
                F.round(1.0 - F.size(F.array_distinct(lines)) / F.size(lines), 6)
         ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
     )
+
+
+def gopher_like_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    min_tokens: int = 5,
+    max_tokens: int = 50_000,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    max_punct_ratio: float = 0.2,
+    max_digit_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.01,
+    max_dup_trigram_frac: float = 0.5,
+    max_dup_line_frac: float = 0.5,
+) -> DataFrame:
+    """Gopher/C4-style composite document filter: every rule as a named
+    boolean column plus the final ``keep`` verdict — so a pipeline can
+    both filter AND report per-rule drop rates from the same projection
+    (beyond the reference: no text ops at all).
+
+    One narrow projection, zero shuffles, whole-stage codegen: tokens,
+    lines, and trigrams are materialized ONCE into named columns (the
+    HOF-CSE constraint: Catalyst re-evaluates lambda-captured
+    expressions per element). Ratios use ASCII character classes so the
+    semantics are engine-portable (exact SQL oracle) and deterministic
+    across locales."""
+    c = F.col(text_col)
+    keep_names = (
+        id_cols if id_cols is not None
+        else [x for x in df.columns if x != text_col]
+    )
+    base = df.select(
+        *[F.col(k) for k in keep_names],
+        F.length(c).alias("__nc"),
+        tokens(c).alias("__toks"),
+        F.filter(F.split(c, r"\n"), lambda x: x != F.lit("")).alias("__lines"),
+        F.length(F.regexp_replace(c, r"[a-zA-Z0-9_\s]", "")).alias("__np"),
+        F.length(F.regexp_replace(c, r"[^0-9]", "")).alias("__nd"),
+    )
+    toks = F.col("__toks")
+    n_tok = F.size(toks)
+    tri = F.when(
+        n_tok >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n_tok - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    stop_arr = F.array(*[F.lit(w) for ws in STOPWORDS.values() for w in ws])
+    mid = base.select(
+        *[F.col(k) for k in keep_names],
+        F.col("__nc"),
+        n_tok.alias("__nt"),
+        tri.alias("__tri"),
+        F.col("__lines"),
+        F.col("__np"),
+        F.col("__nd"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias("__ns"),
+    )
+    nc, nt = F.col("__nc"), F.col("__nt")
+    tri_c, lines = F.col("__tri"), F.col("__lines")
+    avg_len = F.when(nt > 0, (nc - (nt - 1)) / nt).otherwise(F.lit(0.0))
+    punct = F.when(nc > 0, F.col("__np") / nc).otherwise(F.lit(0.0))
+    digit = F.when(nc > 0, F.col("__nd") / nc).otherwise(F.lit(0.0))
+    stop = F.when(nt > 0, F.col("__ns") / nt).otherwise(F.lit(0.0))
+    dup_tri = F.lit(1.0) - F.size(F.array_distinct(tri_c)) / F.size(tri_c)
+    dup_line = F.when(
+        F.size(lines) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines),
+    ).otherwise(F.lit(0.0))
+    rules = {
+        "pass_token_count": (nt >= min_tokens) & (nt <= max_tokens),
+        "pass_avg_token_len": (avg_len >= min_avg_token_len)
+        & (avg_len <= max_avg_token_len),
+        "pass_punct_ratio": punct <= max_punct_ratio,
+        "pass_digit_ratio": digit <= max_digit_ratio,
+        "pass_stopword_ratio": stop >= min_stopword_ratio,
+        "pass_dup_trigram": dup_tri <= max_dup_trigram_frac,
+        "pass_dup_line": dup_line <= max_dup_line_frac,
+    }
+    keep = None
+    for r in rules.values():
+        keep = r if keep is None else (keep & r)
+    return mid.select(
+        *[F.col(k) for k in keep_names],
+        *[v.alias(k) for k, v in rules.items()],
+        keep.alias("keep"),
+    )

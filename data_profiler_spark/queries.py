@@ -2207,3 +2207,88 @@ def q_table_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "metric string, observed string, success boolean"
     )
+
+
+_QUALITY_FILTER_ORACLE = r"""
+WITH feat AS (
+  SELECT doc_id,
+         len(text) AS nc,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ts,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS ls,
+         len(regexp_replace(text, '[a-zA-Z0-9_\s]', '', 'g')) AS np,
+         len(regexp_replace(text, '[^0-9]', '', 'g')) AS nd
+  FROM documents
+), feat2 AS (
+  SELECT doc_id, nc, len(ts) AS nt, ls, np, nd,
+         len(list_filter(ts, t -> list_contains(
+           ['the','and','of','to','in','is','that','for','with','on',
+            'der','die','das','und','ist','von','mit','auf','ein','zu',
+            'el','la','de','que','y','en','un','por','con','para',
+            'le','la','de','et','les','des','un','une','du','pour'], t)))
+           AS ns,
+         CASE WHEN len(ts) >= 3
+              THEN [array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)]
+              ELSE [array_to_string(ts, ' ')] END AS tri
+  FROM feat
+), rules AS (
+  SELECT doc_id,
+         nt BETWEEN 30 AND 50000 AS p_tok,
+         (CASE WHEN nt > 0 THEN CAST(nc - (nt - 1) AS DOUBLE) / nt ELSE 0 END)
+           BETWEEN 2.0 AND 4.5 AS p_avg,
+         (CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / nc ELSE 0 END) <= 0.2 AS p_punct,
+         (CASE WHEN nc > 0 THEN CAST(nd AS DOUBLE) / nc ELSE 0 END) <= 0.2 AS p_digit,
+         (CASE WHEN nt > 0 THEN CAST(ns AS DOUBLE) / nt ELSE 0 END) >= 0.01 AS p_stop,
+         1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri) <= 0.005 AS p_tri,
+         (CASE WHEN len(ls) > 0
+               THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+               ELSE 0 END) <= 0.5 AS p_line
+  FROM feat2
+)
+SELECT COUNT(*) AS total_docs,
+       CAST(SUM(CASE WHEN p_tok AND p_avg AND p_punct AND p_digit AND p_stop
+                      AND p_tri AND p_line THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(SUM(CASE WHEN NOT p_tok THEN 1 ELSE 0 END) AS BIGINT) AS fail_token_count,
+       CAST(SUM(CASE WHEN NOT p_avg THEN 1 ELSE 0 END) AS BIGINT) AS fail_avg_token_len,
+       CAST(SUM(CASE WHEN NOT p_punct THEN 1 ELSE 0 END) AS BIGINT) AS fail_punct_ratio,
+       CAST(SUM(CASE WHEN NOT p_digit THEN 1 ELSE 0 END) AS BIGINT) AS fail_digit_ratio,
+       CAST(SUM(CASE WHEN NOT p_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword_ratio,
+       CAST(SUM(CASE WHEN NOT p_tri THEN 1 ELSE 0 END) AS BIGINT) AS fail_dup_trigram,
+       CAST(SUM(CASE WHEN NOT p_line THEN 1 ELSE 0 END) AS BIGINT) AS fail_dup_line
+FROM rules
+"""
+
+
+@register_query("quality_filter_counts", _QUALITY_FILTER_ORACLE)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style composite document filter (operators/text.py
+    gopher_like_filter): per-rule pass flags + keep verdict in ONE
+    projection; this query aggregates kept and per-rule failure counts so
+    the oracle checks every rule's decision boundary over the corpus."""
+    from data_profiler_spark.operators.text import gopher_like_filter
+
+    d = _docs(spark, sf_dir)
+    flt = gopher_like_filter(
+        d, "text", id_cols=["doc_id"],
+        # thresholds chosen to DISCRIMINATE on the synthetic corpus (the
+        # operator defaults trivially pass its clean text): ~25% fail the
+        # token floor, ~25% the avg-token-length cap, ~5% the trigram cap,
+        # ~24% the stopword floor (zh + code-like docs)
+        min_tokens=30, max_avg_token_len=4.5, max_dup_trigram_frac=0.005,
+    )
+    fails = [
+        ("fail_token_count", "pass_token_count"),
+        ("fail_avg_token_len", "pass_avg_token_len"),
+        ("fail_punct_ratio", "pass_punct_ratio"),
+        ("fail_digit_ratio", "pass_digit_ratio"),
+        ("fail_stopword_ratio", "pass_stopword_ratio"),
+        ("fail_dup_trigram", "pass_dup_trigram"),
+        ("fail_dup_line", "pass_dup_line"),
+    ]
+    return flt.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+        *[
+            F.sum(F.when(~F.col(p), 1).otherwise(0)).alias(name)
+            for name, p in fails
+        ],
+    )

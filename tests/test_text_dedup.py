@@ -409,3 +409,32 @@ def test_connected_components_matches_union_find(spark):
         for r in connected_components(df, driver_max_edges=0).collect()
     }
     assert got == expect
+
+
+def test_gopher_like_filter_rules(spark):
+    """Each rule trips on a doc built to violate exactly it."""
+    from data_profiler_spark.operators.text import gopher_like_filter
+
+    docs = [
+        (1, "the cat sat on the mat and it was good for all of us here"),  # clean
+        (2, "too short"),                                    # token floor
+        (3, "the " + "internationalization " * 30),          # avg token len cap
+        (4, "!!! ??? *** " + "the and of to in is that for " * 4),  # punct cap
+        (5, ("dup phrase here " * 20) + "the and of to in"),  # trigram repetition
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in gopher_like_filter(
+            df, "text", id_cols=["doc_id"],
+            min_tokens=5, max_punct_ratio=0.05, max_dup_trigram_frac=0.3,
+        ).collect()
+    }
+    assert out[1]["keep"]
+    assert not out[2]["pass_token_count"] and not out[2]["keep"]
+    assert not out[3]["pass_avg_token_len"] and not out[3]["keep"]
+    assert not out[4]["pass_punct_ratio"] and not out[4]["keep"]
+    assert not out[5]["pass_dup_trigram"] and not out[5]["keep"]
+    # every row carries all 7 flags + keep
+    assert all(len([k for k in r.asDict() if k.startswith("pass_")]) == 7
+               for r in out.values())
