@@ -217,6 +217,11 @@ def streaming_drift(
     values = list(baseline["values"])
     weights = [float(w) for w in baseline["weights"]]
     n2 = float(baseline.get("n", 0) or 0)
+    if not values or len(weights) != len(values):
+        raise ValueError(
+            f"baseline needs parallel values/weights (got {len(values)}/"
+            f"{len(weights)}) — an empty baseline has no chi-square dof"
+        )
     if stream.schema[time_col].dataType.typeName() != "timestamp":
         stream = stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
     col = F.col(column)
@@ -286,9 +291,10 @@ def streaming_drift_ks(
     bins = [float(b) for b in baseline["bins"]]
     base_w = [float(w) for w in baseline["weights"]]  # per internal bin
     n2 = float(baseline.get("n", 0) or 0)
-    if len(base_w) != len(bins) - 1:
+    if len(bins) < 2 or len(base_w) != len(bins) - 1:
         raise ValueError(
-            f"weights ({len(base_w)}) must cover the {len(bins) - 1} bins"
+            f"need >= 2 bin edges and one weight per bin (got {len(bins)} "
+            f"edges, {len(base_w)} weights)"
         )
     if stream.schema[time_col].dataType.typeName() != "timestamp":
         stream = stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
