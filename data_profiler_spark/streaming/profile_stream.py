@@ -339,3 +339,34 @@ def streaming_drift_ks(
         d.alias("ks_stat"),
         (d >= critical).alias("drift_detected"),
     )
+
+
+def streaming_dedup_exact(
+    stream: DataFrame,
+    time_col: str,
+    text_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: ONE survivor per content digest; later
+    arrivals within the watermark horizon are dropped. (Within a single
+    micro-batch the surviving row is an arbitrary-but-deterministic
+    representative — Spark defines no intra-batch order; across
+    micro-batches the earlier batch's survivor wins.)
+
+    The batch ``dedup_exact`` (hash-groupBy, min-id survivor) has no
+    streaming analogue in a groupBy — instead the digest goes through
+    ``dropDuplicatesWithinWatermark``, whose per-key state Spark expires
+    once the watermark passes it, so state is bounded by (dedup horizon
+    x arrival rate), never by corpus size. Duplicates farther apart than
+    the watermark are a batch-compaction concern (run dedup_exact over
+    the landed table), same split as every production pipeline."""
+    if stream.schema[time_col].dataType.typeName() != "timestamp":
+        stream = stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    return (
+        stream.withColumn(
+            "__digest", F.md5(F.col(text_col).cast("binary"))
+        )
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["__digest"])
+        .drop("__digest")
+    )

@@ -807,3 +807,53 @@ def test_streaming_drift_ks(spark, tmp_path):
     finally:
         q.stop()
     assert len(rows) == len(out)
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """One survivor per content digest; in-batch and cross-batch
+    duplicates within the watermark are dropped (in-batch survivor is an
+    arbitrary representative — Spark defines no intra-batch order)."""
+    import datetime as dt
+
+    from data_profiler_spark.streaming.profile_stream import streaming_dedup_exact
+
+    src = str(tmp_path / "dedup_src")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        ).write.mode("append").parquet(src)
+
+    write([
+        (1, t0, "alpha content"),
+        (2, t0 + dt.timedelta(minutes=1), "alpha content"),   # in-batch dup
+        (3, t0 + dt.timedelta(minutes=2), "beta content"),
+    ])
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).parquet(src)
+    out = streaming_dedup_exact(stream, "ts", "text", watermark="2 hours")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write([
+            (4, t0 + dt.timedelta(minutes=3), "beta content"),   # cross-batch dup
+            (5, t0 + dt.timedelta(minutes=4), "gamma content"),
+        ])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT doc_id FROM stream_dedup_out").collect()
+    finally:
+        q.stop()
+    kept = sorted(r["doc_id"] for r in rows)
+    assert len(kept) == 3
+    assert kept[0] in (1, 2)      # one alpha survivor (in-batch pick)
+    assert kept[1] == 3           # beta's first batch wins...
+    assert 4 not in kept          # ...its cross-batch dup is dropped
+    assert kept[2] == 5
