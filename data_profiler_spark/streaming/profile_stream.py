@@ -370,3 +370,102 @@ def streaming_dedup_exact(
         .dropDuplicatesWithinWatermark(["__digest"])
         .drop("__digest")
     )
+
+
+def streaming_near_dup_candidates(
+    stream: DataFrame,
+    time_col: str,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """MinHash-LSH near-dup candidate detection on a STREAM: each arriving
+    document's band buckets (same tokenize-once ladder as the batch
+    minhash_band_buckets) are checked against a stateful per-bucket
+    anchor; a collision emits a candidate pair (anchor_id, doc_id, band,
+    bucket) immediately, in the micro-batch where the duplicate arrives.
+
+    State per (band, bucket) = the anchor doc id (first arrival; min id
+    within the anchor's own micro-batch), expired by an event-time
+    timeout once the watermark passes the bucket's last activity + the
+    horizon — so state is O(active buckets in the horizon), never corpus
+    size. A pair colliding in several bands emits once per band
+    (downstream dedup is one distinct on (id_a, id_b) if needed) — same
+    per-band contract as the batch bucket table."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from data_profiler_spark.operators.dedup import (
+        minhash_signature_of_shingles,
+        shingles_of_tokens,
+    )
+    from data_profiler_spark.operators.text import tokens
+
+    horizon_sec = _parse_duration_sec(watermark)
+    n_bands = n_hashes // band_size
+    if stream.schema[time_col].dataType.typeName() != "timestamp":
+        stream = stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    with_sig = (
+        stream.select(F.col(id_col), F.col(time_col),
+                      tokens(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), F.col(time_col),
+                shingles_of_tokens(F.col("__toks"), shingle_n).alias("__sh"))
+        .select(F.col(id_col), F.col(time_col),
+                minhash_signature_of_shingles(F.col("__sh"), n_hashes).alias("sig"))
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", F.slice(F.col("sig"), b * band_size + 1, band_size))
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = (
+        with_sig.select(F.col(id_col), F.col(time_col), F.explode(bands).alias("bb"))
+        .select(
+            id_col, time_col,
+            F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+        )
+        .withWatermark(time_col, watermark)
+    )
+    out_schema = "id_a long, id_b long, band int, bucket string"
+    state_schema = "anchor long"
+
+    def fn(key, batches, state: GroupState):
+        band, bucket = key
+        pairs = []
+        if state.hasTimedOut:
+            state.remove()
+        else:
+            ids: list[int] = []
+            max_ts = 0.0
+            for pdf in batches:
+                ids.extend(int(x) for x in pdf[id_col])
+                if len(pdf):
+                    max_ts = max(
+                        max_ts,
+                        max(t.timestamp() for t in pd.to_datetime(pdf[time_col])),
+                    )
+            ids = sorted(set(ids))
+            if ids:
+                if state.exists:
+                    (anchor,) = state.get
+                else:
+                    anchor = ids[0]  # min id in the anchor's own batch
+                for i in ids:
+                    if i != anchor:
+                        pairs.append((anchor, i, band, bucket))
+                state.update((int(anchor),))
+                state.setTimeoutTimestamp(int((max_ts + horizon_sec) * 1000))
+        yield pd.DataFrame(pairs, columns=["id_a", "id_b", "band", "bucket"])
+
+    return exploded.groupBy("band", "bucket").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )

@@ -857,3 +857,55 @@ def test_streaming_dedup_exact(spark, tmp_path):
     assert kept[1] == 3           # beta's first batch wins...
     assert 4 not in kept          # ...its cross-batch dup is dropped
     assert kept[2] == 5
+
+
+def test_streaming_near_dup_candidates(spark, tmp_path):
+    """Identical docs collide in every band; the later arrival emits a
+    candidate pair against the earlier anchor, in-batch and cross-batch;
+    unrelated docs emit nothing."""
+    import datetime as dt
+
+    from data_profiler_spark.streaming.profile_stream import (
+        streaming_near_dup_candidates,
+    )
+
+    src = str(tmp_path / "nd_src")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        ).write.mode("append").parquet(src)
+
+    write([
+        (1, t0, shared),
+        (2, t0 + dt.timedelta(minutes=1), shared),            # in-batch dup
+        (3, t0 + dt.timedelta(minutes=2), "totally unrelated content here xyz"),
+    ])
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).parquet(src)
+    out = streaming_near_dup_candidates(
+        stream, "ts", "doc_id", "text", watermark="2 hours"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_nd_out")
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write([(4, t0 + dt.timedelta(minutes=3), shared)])     # cross-batch dup
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM stream_nd_out").collect()
+    finally:
+        q.stop()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert pairs == {(1, 2), (1, 4)}  # anchor 1; doc 3 never collides
+    # identical docs collide in EVERY band (4 bands at 8 hashes / size 2)
+    from collections import Counter
+    per_pair = Counter((r["id_a"], r["id_b"]) for r in rows)
+    assert per_pair[(1, 2)] == 4 and per_pair[(1, 4)] == 4
