@@ -23,6 +23,18 @@ STOPWORDS = {
 CJK_REGEX = r"[一-鿿]"
 
 
+def _stopword_array():
+    """The flattened multilingual stopword list as a Column literal —
+    shared by with_quality_features and gopher_like_filter so the two
+    never drift apart. (Their punct_ratio definitions DO differ on
+    purpose: with_quality_features uses unicode word classes [\w\s];
+    gopher_like_filter uses ASCII classes for exact SQL-oracle
+    portability.)"""
+    from pyspark.sql import functions as _F
+
+    return _F.array(*[_F.lit(w) for ws in STOPWORDS.values() for w in ws])
+
+
 def tokens(col: Column, lowercase: bool = True) -> Column:
     """Whitespace tokens, empties removed."""
     c = F.lower(col) if lowercase else col
@@ -58,7 +70,7 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.col("__toks")
     n_chars = F.length(c)
     n_tokens = F.size(toks)
-    stop_arr = F.array(*[F.lit(w) for ws in STOPWORDS.values() for w in ws])
+    stop_arr = _stopword_array()
     out = (
         df.withColumn("n_chars", n_chars)
         .withColumn("n_tokens", n_tokens)
@@ -356,7 +368,7 @@ def gopher_like_filter(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    stop_arr = F.array(*[F.lit(w) for ws in STOPWORDS.values() for w in ws])
+    stop_arr = _stopword_array()
     mid = base.select(
         *[F.col(k) for k in keep_names],
         F.col("__nc"),

@@ -97,6 +97,12 @@ def streaming_sessionize(
 
     Scale: state is O(open sessions); the watermark bounds it — late rows
     beyond it are dropped by the engine before reaching the function.
+
+    Requires ``spark.sql.session.timeZone=UTC`` (the engine session
+    factory's default): Arrow hands the function session-timezone-naive
+    timestamps, so on a non-UTC session the event-time TIMEOUT epoch
+    would be skewed by the tz offset (emitted session bounds round-trip
+    through the same conversion and stay correct either way).
     """
     import datetime as _dt
 
@@ -222,6 +228,10 @@ def streaming_drift(
             f"baseline needs parallel values/weights (got {len(values)}/"
             f"{len(weights)}) — an empty baseline has no chi-square dof"
         )
+    if n2 <= 0:
+        # n2=0 would zero every expected cell: chi2 identically 0 and the
+        # monitor silently dead — refuse at plan time instead
+        raise ValueError('baseline needs a positive sample size "n"')
     if stream.schema[time_col].dataType.typeName() != "timestamp":
         stream = stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
     col = F.col(column)
@@ -254,12 +264,17 @@ def streaming_drift(
         stat = stat + term1 + term2
     dof = len(values)  # (2-1) * ((k+1) - 1), tail column included
     critical = float(stats.chi2_critical(dof, alpha))
+    # r1=0 (a window whose rows are all NULL in `column`) would evaluate
+    # 0/0 in term1 — guard like the batch verdict (nonnull==0 -> no drift)
+    safe_stat = F.when(r1 > 0, stat).otherwise(F.lit(0.0))
     return agged.select(
         F.col("win.start").alias("window_start"),
         F.col("win.end").alias("window_end"),
         r1.cast("long").alias("n"),
-        stat.alias("chi2_stat"),
-        (stat >= F.lit(critical)).alias("drift_detected"),
+        safe_stat.alias("chi2_stat"),
+        F.when(r1 > 0, stat >= F.lit(critical)).otherwise(F.lit(False)).alias(
+            "drift_detected"
+        ),
     )
 
 
@@ -296,6 +311,11 @@ def streaming_drift_ks(
             f"need >= 2 bin edges and one weight per bin (got {len(bins)} "
             f"edges, {len(base_w)} weights)"
         )
+    if n2 <= 0 or sum(base_w) <= 0:
+        # n2=0 would make en=0 (divide-by-zero inside the critical value)
+        # and an all-zero weight vector has no baseline CDF — refuse at
+        # plan time like the values/weights shape check
+        raise ValueError('baseline needs a positive "n" and nonzero weights')
     if stream.schema[time_col].dataType.typeName() != "timestamp":
         stream = stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
     col = F.col(column)
@@ -332,12 +352,18 @@ def streaming_drift_ks(
     k_alpha = float(stats.kolmogorov_critical(alpha))
     en = F.sqrt(n1 * F.lit(n2) / (n1 + F.lit(n2)))
     critical = F.lit(k_alpha) / (en + 0.12 + 0.11 / en)
+    # n1=0 (a window whose rows are all NULL/NaN in `column`) would
+    # evaluate 0/0 in cum_o/n1 and 0.11/en — guard like the batch verdict
+    # (nonnull==0 -> no drift); the when() branch keeps the divisions
+    # unevaluated for empty windows
     return agged.select(
         F.col("win.start").alias("window_start"),
         F.col("win.end").alias("window_end"),
         n1.cast("long").alias("n"),
-        d.alias("ks_stat"),
-        (d >= critical).alias("drift_detected"),
+        F.when(n1 > 0, d).otherwise(F.lit(0.0)).alias("ks_stat"),
+        F.when(n1 > 0, d >= critical).otherwise(F.lit(False)).alias(
+            "drift_detected"
+        ),
     )
 
 
@@ -431,6 +457,12 @@ def streaming_near_dup_candidates(
         with_sig.select(F.col(id_col), F.col(time_col), F.explode(bands).alias("bb"))
         .select(
             id_col, time_col,
+            # epoch ms computed JVM-side: Arrow hands the Python function
+            # session-timezone-NAIVE timestamps, and Timestamp.timestamp()
+            # would read them as UTC — wrong by the tz offset on any
+            # non-UTC session (it can even land the timeout BEFORE the
+            # watermark and kill the query). unix_millis is tz-correct.
+            F.unix_millis(F.col(time_col)).alias("__ts_ms"),
             F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
         )
         .withWatermark(time_col, watermark)
@@ -445,14 +477,11 @@ def streaming_near_dup_candidates(
             state.remove()
         else:
             ids: list[int] = []
-            max_ts = 0.0
+            max_ms = 0
             for pdf in batches:
                 ids.extend(int(x) for x in pdf[id_col])
                 if len(pdf):
-                    max_ts = max(
-                        max_ts,
-                        max(t.timestamp() for t in pd.to_datetime(pdf[time_col])),
-                    )
+                    max_ms = max(max_ms, int(pdf["__ts_ms"].max()))
             ids = sorted(set(ids))
             if ids:
                 if state.exists:
@@ -463,7 +492,12 @@ def streaming_near_dup_candidates(
                     if i != anchor:
                         pairs.append((anchor, i, band, bucket))
                 state.update((int(anchor),))
-                state.setTimeoutTimestamp(int((max_ts + horizon_sec) * 1000))
+                # expire one horizon after the bucket's last activity in
+                # EVENT time; __ts_ms was converted JVM-side (see select
+                # above) so this is correct on any session timezone, and
+                # unlike the watermark clock it is well-defined in the
+                # very first micro-batch (watermark still 0 there)
+                state.setTimeoutTimestamp(max_ms + int(horizon_sec * 1000))
         yield pd.DataFrame(pairs, columns=["id_a", "id_b", "band", "bucket"])
 
     return exploded.groupBy("band", "bucket").applyInPandasWithState(

@@ -700,9 +700,11 @@ def test_streaming_drift(spark, tmp_path):
         ).agg(F.count("*").alias("n")).collect()
     }
     for ws, row in out.items():
-        obs = [counts.get((ws, t), 0) for t in types] + [
-            counts.get((ws, None), 0)
-        ]
+        # the engine's tail column counts NON-NULL unlisted values only
+        # (isNotNull & ~listed); `types` covers every non-null value here,
+        # so the expected tail is exactly 0 — NULL rows are outside the
+        # domain in both the streaming and batch paths
+        obs = [counts.get((ws, t), 0) for t in types] + [0]
         base = [w * matched["n"] for w in matched["weights"]] + [0.0]
         stat, _, dof = stats.chi2_contingency([obs, base])
         assert abs(row["chi2_stat"] - stat) < 1e-6
