@@ -18,7 +18,10 @@ A fixed CPU calibration probe runs immediately BEFORE each query and its
 seconds are emitted per query under "probes": this host throttles on burst
 credits (2-14x), so a hot probe marks that query's timing as suspect and
 makes regressions attributable (VERDICT r4 #8). Compare probe values within
-one run; a probe >3x the run's median probe means re-measure in isolation.
+one run; queries whose probe exceeds 2x the run's median are automatically
+re-measured once after an idle (SPARK_GRAFT_BENCH_RETRY_IDLE sec, default
+45) and both runs are reported under "retried" — the headline row takes
+the retry only when the retry's own probe is clean (VERDICT r5 #6).
 The north-rule scaling benchmark (local[8] vs local[32], files/sec,
 efficiency) lives in benchmarks/bench_scaling.py and reports into BENCH.md.
 """
@@ -120,19 +123,48 @@ def main() -> None:
         if recover > 0:
             time.sleep(recover)
 
-    for name in HEADLINE:
-        fn = qs[name]
-        probes[name] = _calibration_probe(spark)
+    def _timed_run(name: str) -> tuple[float, float]:
+        probe = _calibration_probe(spark)
         t0 = time.time()
         try:
-            df = fn(spark, sf_dir)
-            df.count()
+            qs[name](spark, sf_dir).count()
             dt = time.time() - t0
         except Exception as exc:  # pragma: no cover
             print(f"bench error in {name}: {exc}", file=sys.stderr)
             dt = float("nan")
+        return probe, dt
+
+    for name in HEADLINE:
+        probe, dt = _timed_run(name)
+        probes[name] = probe
         timings[name] = round(dt, 3)
-        total += dt if dt == dt else 0.0
+
+    # Throttle-aware retry (VERDICT r5 #6): a probe >2x the session median
+    # means that query ran on a drained burst-credit bucket — its timing is
+    # attributable noise, not a regression. Re-measure those queries ONCE
+    # after a short idle (bucket refill) and report BOTH runs; the headline
+    # row takes the retry only when the retry's probe is clean, so no
+    # dirty-probe number ever leads the round-over-round table.
+    retried: dict[str, dict] = {}
+    med = sorted(probes.values())[len(probes) // 2] if probes else 0.0
+    suspects = [n for n in HEADLINE if med > 0 and probes[n] > 2 * med]
+    retry_idle = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_IDLE", "45"))
+    if suspects:
+        time.sleep(retry_idle)
+        for name in suspects:
+            probe2, dt2 = _timed_run(name)
+            retried[name] = {
+                "first_sec": timings[name],
+                "first_probe": probes[name],
+                "retry_sec": round(dt2, 3),
+                "retry_probe": probe2,
+                "retry_used": bool(probe2 <= 2 * med),
+            }
+            if probe2 <= 2 * med:  # clean retry replaces the dirty row
+                timings[name] = round(dt2, 3)
+                probes[name] = probe2
+
+    total = sum(dt for dt in timings.values() if dt == dt)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -147,6 +179,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "probes": probes,
+                "retried": retried,
                 "warmup_sec": warmup,
                 "recover_sec": recover,
                 "sf": sf_val,

@@ -522,7 +522,26 @@ def connected_components(
       one-job fingerprint (count + decimal hash sum) of the edge set —
       the rounds are monotone toward the star fixpoint, so two
       consecutive identical edge sets mean converged.
+
+    Node ids must be INTEGRAL (the min-id component representative needs a
+    total order that survives the long cast; a silent string->long cast
+    would NULL every id under non-ANSI sessions and return an empty result
+    — ADVICE r5). Map string doc ids to dense longs first, e.g.
+    ``xxhash64(id)`` when collisions are acceptable or a ``zipWithIndex``-
+    style rank join when they are not.
     """
+    from pyspark.sql import types as T
+
+    for c in (src, dst):
+        dt = pairs.schema[c].dataType
+        if not isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise ValueError(
+                f"connected_components needs integral node ids; column "
+                f"{c!r} is {dt.simpleString()} — map ids to longs first "
+                "(e.g. xxhash64(id) or a rank join)"
+            )
     edges = (
         pairs.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")

@@ -1049,12 +1049,29 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assignment + probe + top-k from those exact doubles. The centroid
 # ITERATION itself is covered by the recall assertion in
 # tests/test_similarity_multimodal.py.
-_IVF_CENT_FIXTURE = "/tmp/dps_fixture/ivf_refined_centroids.parquet"
+#
+# The fixture path is PER-SF (ADVICE r5): the centroids depend on the
+# input tables, so a shared path would let a bench run at sf0.1 clobber
+# the gate's sf0.01 fixture (or vice versa) between the engine run and
+# the oracle read. The oracle string is static and the driver's gate runs
+# at sf0.01, so the sf0.01 path is baked into the SQL; running the oracle
+# against any other sf fails loudly on the missing/mismatched fixture
+# rather than silently replaying stale centroids.
+
+
+def _ivf_fixture_path(sf_dir: str) -> str:
+    import os.path
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
+    return f"/tmp/dps_fixture/{sf_name}/ivf_refined_centroids.parquet"
+
+
+_IVF_CENT_FIXTURE_GATE = _ivf_fixture_path("sf0.01")
 
 _TOPK_IVF_REFINED_ORACLE = f"""
 WITH cents AS (
   SELECT centroid_id, centroid_vec AS cvec
-  FROM read_parquet('{_IVF_CENT_FIXTURE}/*.parquet')
+  FROM read_parquet('{_IVF_CENT_FIXTURE_GATE}/*.parquet')
 ), assigned AS (
   SELECT vec_id, v, centroid_id FROM (
     SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
@@ -1093,7 +1110,7 @@ def q_embedding_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = kmeans_refined_centroids(
         e, "vec_id", "embedding", n_centroids=8, iters=2
     )
-    cents.write.mode("overwrite").parquet(_IVF_CENT_FIXTURE)
+    cents.write.mode("overwrite").parquet(_ivf_fixture_path(sf_dir))
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

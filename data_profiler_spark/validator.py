@@ -55,6 +55,30 @@ class Validator:
         }
         self._compile_cache: dict[str, list[CompiledConstraint]] = {}
 
+    # compiled-plan cache bound: a long-lived Validator whose parameters
+    # change per validate() call (the URN flow) would otherwise keep one
+    # fully-compiled plan per distinct parameter dict forever (ADVICE r5)
+    _COMPILE_CACHE_MAX = 32
+
+    @staticmethod
+    def _cache_norm(v: Any) -> Any:
+        """Normalize parameter values for the cache key so semantically
+        equal values hash equal (1 vs 1.0, numpy scalars vs python) while
+        DISTINCT values stay distinct: ints are widened to float only when
+        exactly representable (|v| <= 2^53), so no two different values can
+        collide onto one key."""
+        if isinstance(v, bool):
+            return v
+        if type(v).__module__ == "numpy" and hasattr(v, "item"):
+            v = v.item()
+        if isinstance(v, int) and abs(v) <= 2**53:
+            return float(v)
+        if isinstance(v, dict):
+            return {str(k): Validator._cache_norm(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [Validator._cache_norm(x) for x in v]
+        return v
+
     # ------------------------------------------------------------------
     def compile(self, suite: ConstraintSuite) -> list[CompiledConstraint]:
         # memoized per (suite fingerprint, evaluation-parameter values):
@@ -64,15 +88,20 @@ class Validator:
         # that caps scaling efficiency). Compiled constraints embed the
         # RESOLVED $PARAMETER values (and sticky failed-compile verdicts),
         # so mutating ctx["evaluation_parameters"] between validate() calls
-        # must miss the cache (ADVICE r4).
+        # must miss the cache (ADVICE r4). Bounded LRU, normalized keys
+        # (ADVICE r5).
         import json
 
         params = self.ctx.get("evaluation_parameters") or {}
         key = suite.fingerprint + "|" + json.dumps(
-            params, sort_keys=True, default=repr
+            self._cache_norm(params), sort_keys=True, default=repr
         )
         cached = self._compile_cache.get(key)
         if cached is not None:
+            # move-to-end: dict preserves insertion order, so re-inserting
+            # marks this entry most-recently-used
+            del self._compile_cache[key]
+            self._compile_cache[key] = cached
             return cached
         out: list[CompiledConstraint] = []
         for c in suite.constraints:
@@ -81,6 +110,8 @@ class Validator:
                 out.append(compile_constraint(resolved, self.df, self.ctx))
             except Exception as exc:  # compile-time failure -> failed verdict
                 out.append(self._failed_compile(c, exc))
+        while len(self._compile_cache) >= self._COMPILE_CACHE_MAX:
+            self._compile_cache.pop(next(iter(self._compile_cache)))
         self._compile_cache[key] = out
         return out
 

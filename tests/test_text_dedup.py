@@ -438,3 +438,29 @@ def test_gopher_like_filter_rules(spark):
     # every row carries all 7 flags + keep
     assert all(len([k for k in r.asDict() if k.startswith("pass_")]) == 7
                for r in out.values())
+
+
+def test_connected_components_rejects_non_integral_ids(spark):
+    """ADVICE r5: string node ids would silently cast to NULL (non-ANSI)
+    and return an empty result — refuse loudly at plan time instead."""
+    import pytest
+
+    from data_profiler_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    with pytest.raises(ValueError, match="integral node ids"):
+        connected_components(df)
+    # mixed: one side integral, the other not -> still refused
+    df2 = spark.createDataFrame([(1, "x")], "id_a long, id_b string")
+    with pytest.raises(ValueError, match="id_b"):
+        connected_components(df2)
+    # the documented escape hatch works: hash string ids to longs first
+    from pyspark.sql import functions as F
+
+    hashed = df.select(
+        F.xxhash64("id_a").alias("id_a"), F.xxhash64("id_b").alias("id_b")
+    )
+    comps = {r.component for r in connected_components(hashed).collect()}
+    assert len(comps) == 1  # a-b-c is one component
