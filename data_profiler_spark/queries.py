@@ -1519,6 +1519,121 @@ def q_rule_profile_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RBP_MB_COLS = ["l_discount", "l_extendedprice", "l_quantity"]
+
+# per-batch (month) means -> empirical [2.5%, 97.5%] linear quantiles:
+# DuckDB's quantile_cont interpolates exactly like np.quantile(linear),
+# which is what makes the oneshot estimator oracle-exact; ROUND 6 matches
+# the rule's explicit round_decimals; GREATEST(.., 0.0) mirrors the ref's
+# truncate heuristic (all-positive metric values -> lower bound 0.0).
+_RBP_MB_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+  GREATEST(ROUND(quantile_cont(v, 0.025), 6), 0.0) AS min_value,
+  ROUND(quantile_cont(v, 0.975), 6) AS max_value,
+  TRUE AS boot_contained
+FROM (SELECT AVG({c}) AS v FROM lineitem
+      GROUP BY date_trunc('month', l_shipdate))"""
+    for c in _RBP_MB_COLS
+)
+
+
+@register_query("rule_profile_bootstrap_ranges", _RBP_MB_ORACLE)
+def q_rule_profile_bootstrap_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/rule_profiler.py NumericMetricRangeMultiBatchParameterBuilder
+    (ref numeric_metric_range_multi_batch_parameter_builder.py:28-419): a
+    "batch" is a month of l_shipdate, so the ~83 per-batch means of each
+    numeric column come from ONE grouped fused pass, then the range
+    estimators run driver-side over those 83 values. The ORACLE-EXACT part
+    is the oneshot path (linear quantiles + round + truncate heuristics —
+    everything but the resampling loop); the seeded bootstrap estimator is
+    not SQL-expressible, so the query additionally asserts engine-side that
+    the bootstrap interval lies within the observed per-batch value range
+    (boot_contained — flips the row FALSE on any bootstrap regression;
+    exact seeded values are pinned in tests/test_rule_profiler.py)."""
+    from data_profiler_spark.operators.rule_profiler import RuleBasedProfiler
+
+    config = {
+        "variables": {"false_positive_rate": 0.05},
+        "rules": {
+            "monthly_mean_range_rule": {
+                "domain_builder": {
+                    "class_name": "ColumnDomainBuilder",
+                    "include_columns": _RBP_MB_COLS,
+                },
+                "parameter_builders": [
+                    {
+                        "class_name": "NumericMetricRangeMultiBatchParameterBuilder",
+                        "parameter_name": "mean_range",
+                        "metric_name": "column.mean",
+                        "sampling_method": "oneshot",
+                        "false_positive_rate": "$variables.false_positive_rate",
+                        "round_decimals": 6,
+                        "batch_identifier_columns": ["batch_month"],
+                    },
+                    {
+                        "class_name": "NumericMetricRangeMultiBatchParameterBuilder",
+                        "parameter_name": "mean_range_boot",
+                        "metric_name": "column.mean",
+                        "sampling_method": "bootstrap",
+                        "num_bootstrap_samples": 999,
+                        "seed": 7,
+                        "batch_identifier_columns": ["batch_month"],
+                    },
+                ],
+                "expectation_configuration_builders": [
+                    {
+                        "expectation_type": "expect_column_mean_to_be_between",
+                        "column": "$domain.domain_kwargs.column",
+                        "min_value": "$parameter.mean_range.value.min_value",
+                        "max_value": "$parameter.mean_range.value.max_value",
+                        "meta": {
+                            "boot_min": "$parameter.mean_range_boot.value.min_value",
+                            "boot_max": "$parameter.mean_range_boot.value.max_value",
+                        },
+                    }
+                ],
+            }
+        },
+    }
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "batch_month", F.date_trunc("month", F.col("l_shipdate"))
+    )
+    suite = RuleBasedProfiler(config).profile(li)
+    # observed per-batch mean range, for the bootstrap containment check
+    # (one tiny grouped agg; 1e-6 tolerance absorbs the 9-decimal rounding)
+    bounds = {
+        c: li.groupBy("batch_month")
+        .agg(F.mean(c).alias("v"))
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .first()
+        for c in _RBP_MB_COLS
+    }
+    meta = suite.meta.get("expectation_meta", {})
+    rows = []
+    for c in suite.constraints:
+        if c.type != "expect_column_mean_to_be_between":
+            continue
+        m = meta.get(c.id, {})
+        col = c.kwargs["column"]
+        lo, hi = bounds[col]["lo"], bounds[col]["hi"]
+        contained = bool(
+            lo - 1e-6 <= m["boot_min"] <= m["boot_max"] <= hi + 1e-6
+        )
+        rows.append(
+            (
+                col,
+                float(c.kwargs["min_value"]),
+                float(c.kwargs["max_value"]),
+                contained,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "column_name string, min_value double, max_value double, "
+        "boot_contained boolean",
+    )
+
+
 # ===========================================================================
 # 15. Dedup clustering (NEW r5): connected components over near-dup pairs —
 #     alternating large-star/small-star, the missing tail of the dedup

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_profiler_spark.operators.rule_profiler import (
     ColumnDomainBuilder,
@@ -281,3 +282,281 @@ def test_enforce_numeric_metric(spark, typed_small):
     }
     with pytest.raises(ProfilerExecutionError):
         RuleBasedProfiler(cfg).profile(typed_small)
+
+
+# ---------------------------------------------------------------------------
+# NumericMetricRangeMultiBatchParameterBuilder (NEW r6)
+# ---------------------------------------------------------------------------
+
+MB_RULE = {
+    "variables": {"false_positive_rate": 0.05},
+    "rules": {
+        "batch_mean_rule": {
+            "domain_builder": {
+                "class_name": "ColumnDomainBuilder",
+                "include_columns": ["floats"],
+            },
+            "parameter_builders": [
+                {
+                    "class_name": "NumericMetricRangeMultiBatchParameterBuilder",
+                    "parameter_name": "mean_range",
+                    "metric_name": "column.mean",
+                    "sampling_method": "oneshot",
+                    "false_positive_rate": "$variables.false_positive_rate",
+                    "batch_identifier_columns": "cat",
+                }
+            ],
+            "expectation_configuration_builders": [
+                {
+                    "expectation_type": "expect_column_mean_to_be_between",
+                    "column": "$domain.domain_kwargs.column",
+                    "min_value": "$parameter.mean_range.value.min_value",
+                    "max_value": "$parameter.mean_range.value.max_value",
+                }
+            ],
+        }
+    },
+}
+
+
+def _mb_config(**pb_overrides):
+    import copy
+
+    cfg = copy.deepcopy(MB_RULE)
+    cfg["rules"]["batch_mean_rule"]["parameter_builders"][0].update(pb_overrides)
+    return cfg
+
+
+def test_multibatch_oneshot_matches_numpy(spark, typed_small):
+    """The oneshot estimator equals np.quantile(linear) of the per-batch
+    metric values, rounded per the ref heuristic (9 decimals for floats),
+    lower-truncated at 0 when all values are positive (ref :333-419)."""
+    import numpy as np
+
+    suite = RuleBasedProfiler(MB_RULE).profile(typed_small)
+    (c,) = [x for x in suite.constraints
+            if x.type == "expect_column_mean_to_be_between"]
+
+    # mirror the engine's NaN masking (pandas skipna semantics)
+    masked = F.when(~F.isnan("floats"), F.col("floats"))
+    rows = (
+        typed_small.groupBy("cat").agg(F.mean(masked).alias("v")).collect()
+    )
+    vals = np.array(
+        [r["v"] for r in sorted(rows, key=lambda r: repr(r["cat"]))]
+    )
+    lo = max(round(float(np.quantile(vals, 0.025)), 9), 0.0)
+    hi = round(float(np.quantile(vals, 0.975)), 9)
+    assert c.kwargs["min_value"] == lo
+    assert c.kwargs["max_value"] == hi
+    assert c.kwargs["min_value"] >= 0.0  # truncate heuristic engaged
+
+
+def test_multibatch_bootstrap_seeded_and_reproducible(spark, typed_small):
+    """The seeded bootstrap: (a) reproducible across profile() runs,
+    (b) equal to an independent numpy reimplementation with the same
+    seed, (c) interval within the observed per-batch value range."""
+    import numpy as np
+
+    cfg = _mb_config(
+        sampling_method="bootstrap", num_bootstrap_samples=499, seed=11
+    )
+    s1 = RuleBasedProfiler(cfg).profile(typed_small)
+    s2 = RuleBasedProfiler(cfg).profile(typed_small)
+    (c1,) = [x for x in s1.constraints
+             if x.type == "expect_column_mean_to_be_between"]
+    (c2,) = [x for x in s2.constraints
+             if x.type == "expect_column_mean_to_be_between"]
+    assert c1.kwargs == c2.kwargs
+
+    # mirror the engine's NaN masking (pandas skipna semantics)
+    masked = F.when(~F.isnan("floats"), F.col("floats"))
+    rows = (
+        typed_small.groupBy("cat").agg(F.mean(masked).alias("v")).collect()
+    )
+    vals = np.array(
+        [r["v"] for r in sorted(rows, key=lambda r: repr(r["cat"]))]
+    )
+    rng = np.random.default_rng(11)
+    boots = rng.choice(vals, size=(499, vals.size))
+    lo = max(round(float(np.mean(np.quantile(boots, 0.025, axis=1))), 9), 0.0)
+    hi = round(float(np.mean(np.quantile(boots, 0.975, axis=1))), 9)
+    assert c1.kwargs["min_value"] == lo
+    assert c1.kwargs["max_value"] == hi
+    assert vals.min() - 1e-9 <= c1.kwargs["min_value"]
+    assert c1.kwargs["max_value"] <= vals.max() + 1e-9
+
+
+def test_multibatch_degenerate_and_integer_heuristics(spark):
+    """Degenerate per-batch distribution -> both bounds equal that value
+    with NO sampling (ref :258-260); integer-typed metric values force
+    round_decimals to 0 (ref :404-419)."""
+    df = spark.createDataFrame(
+        [(b, v) for b in ("a", "b", "c") for v in (1, 2, 3)],
+        "batch string, x long",
+    )
+    cfg = {
+        "rules": {
+            "r": {
+                "domain_builder": {
+                    "class_name": "ColumnDomainBuilder",
+                    "include_columns": ["x"],
+                },
+                "parameter_builders": [
+                    {
+                        "class_name": (
+                            "NumericMetricRangeMultiBatchParameterBuilder"
+                        ),
+                        "parameter_name": "rng",
+                        "metric_name": "column.max",
+                        "batch_identifier_columns": ["batch"],
+                    }
+                ],
+                "expectation_configuration_builders": [
+                    {
+                        "expectation_type": "expect_column_max_to_be_between",
+                        "column": "$domain.domain_kwargs.column",
+                        "min_value": "$parameter.rng.value.min_value",
+                        "max_value": "$parameter.rng.value.max_value",
+                    }
+                ],
+            }
+        }
+    }
+    suite = RuleBasedProfiler(cfg).profile(df)
+    (c,) = suite.constraints
+    # every batch max == 3 (degenerate) and integer-typed -> exactly 3/3
+    assert c.kwargs["min_value"] == 3 and c.kwargs["max_value"] == 3
+    assert isinstance(c.kwargs["min_value"], int)
+
+
+def test_multibatch_truncate_values_and_batch_request(spark, typed_small):
+    """Explicit truncate_values clamp the estimate; batch_request is the
+    GE-config-compat spelling of batch_identifier_columns."""
+    cfg = _mb_config(truncate_values={"lower_bound": 12.0, "upper_bound": 13.0})
+    (c,) = [
+        x
+        for x in RuleBasedProfiler(cfg).profile(typed_small).constraints
+        if x.type == "expect_column_mean_to_be_between"
+    ]
+    assert c.kwargs["min_value"] >= 12.0 and c.kwargs["max_value"] <= 13.0
+
+    cfg2 = _mb_config()
+    pb = cfg2["rules"]["batch_mean_rule"]["parameter_builders"][0]
+    del pb["batch_identifier_columns"]
+    pb["batch_request"] = {"batch_identifier_columns": ["cat"]}
+    base = [
+        x
+        for x in RuleBasedProfiler(MB_RULE).profile(typed_small).constraints
+        if x.type == "expect_column_mean_to_be_between"
+    ]
+    via_br = [
+        x
+        for x in RuleBasedProfiler(cfg2).profile(typed_small).constraints
+        if x.type == "expect_column_mean_to_be_between"
+    ]
+    assert [x.kwargs for x in via_br] == [x.kwargs for x in base]
+
+
+def test_multibatch_config_errors(spark, typed_small):
+    with pytest.raises(ProfilerConfigurationError, match="batch_identifier"):
+        RuleBasedProfiler(
+            _mb_config(batch_identifier_columns=None)
+        ).profile(typed_small)
+    with pytest.raises(ProfilerConfigurationError, match="unknown batch"):
+        RuleBasedProfiler(
+            _mb_config(batch_identifier_columns=["nope"])
+        ).profile(typed_small)
+    with pytest.raises(ProfilerExecutionError, match="sampling_method"):
+        RuleBasedProfiler(
+            _mb_config(sampling_method="jackknife")
+        ).profile(typed_small)
+    with pytest.raises(ProfilerExecutionError, match="false_positive_rate"):
+        RuleBasedProfiler(
+            _mb_config(false_positive_rate=1.5)
+        ).profile(typed_small)
+    with pytest.raises(ProfilerConfigurationError, match="truncate_values"):
+        RuleBasedProfiler(
+            _mb_config(truncate_values={"middle": 1})
+        ).profile(typed_small)
+
+
+def test_multibatch_adds_exactly_one_grouped_pass(spark, typed_small, monkeypatch):
+    """Plain builders share the global fused pass; all multi-batch builders
+    on the same batch columns share ONE grouped pass — jobs scale with
+    distinct groupings, never with batches or builders."""
+    import data_profiler_spark.operators.rule_profiler as rbp
+    from data_profiler_spark.plans.fused import run_fused_pass
+
+    calls: list[tuple[int, tuple]] = []
+
+    def counting(df, terms, group_by):
+        calls.append((len(terms), tuple(group_by)))
+        return run_fused_pass(df, terms, group_by)
+
+    monkeypatch.setattr(rbp, "run_fused_pass", counting)
+    import copy
+
+    cfg = copy.deepcopy(NUMERIC_RULE_CONFIG)
+    cfg["rules"]["batch_mean_rule"] = copy.deepcopy(
+        MB_RULE["rules"]["batch_mean_rule"]
+    )
+    # second multi-batch builder, same batch columns -> same grouped pass
+    cfg["rules"]["batch_mean_rule"]["parameter_builders"].append(
+        {
+            "class_name": "NumericMetricRangeMultiBatchParameterBuilder",
+            "parameter_name": "max_range",
+            "metric_name": "column.max",
+            "batch_identifier_columns": ["cat"],
+        }
+    )
+    RuleBasedProfiler(cfg).profile(typed_small)
+    assert sorted(calls) == [(2, ("cat",)), (9, ())]
+
+
+def test_simple_column_suffix_domain_builder(spark, typed_small):
+    """ref simple_column_suffix_domain_builder.py:1-89 under the ref's
+    class name: suffix-filtered column domains."""
+    from data_profiler_spark.operators.rule_profiler import (
+        SimpleColumnSuffixDomainBuilder,
+    )
+
+    b = SimpleColumnSuffixDomainBuilder(column_name_suffixes=["_a", "_b"])
+    assert [d.kwargs["column"] for d in b.get_domains(typed_small, {})] == [
+        "pair_a", "pair_b"
+    ]
+    # string form, empty form, invalid form
+    b2 = SimpleColumnSuffixDomainBuilder(column_name_suffixes="s")
+    assert [d.kwargs["column"] for d in b2.get_domains(typed_small, {})] == [
+        "ints", "floats", "strings", "dates"
+    ]
+    assert SimpleColumnSuffixDomainBuilder().get_domains(typed_small, {}) == []
+    with pytest.raises(ProfilerConfigurationError):
+        SimpleColumnSuffixDomainBuilder(column_name_suffixes=3)
+
+    # end-to-end through a config: *_key columns of lineitem
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cfg = {
+        "rules": {
+            "key_rule": {
+                "domain_builder": {
+                    "class_name": "SimpleColumnSuffixDomainBuilder",
+                    "column_name_suffixes": ["key"],
+                },
+                "parameter_builders": [
+                    {"parameter_name": "nn",
+                     "metric_name": "column_values.nonnull.count"}
+                ],
+                "expectation_configuration_builders": [
+                    {
+                        "expectation_type": "expect_column_values_to_not_be_null",
+                        "column": "$domain.domain_kwargs.column",
+                    }
+                ],
+            }
+        }
+    }
+    suite = RuleBasedProfiler(cfg).profile(li)
+    assert sorted(c.kwargs["column"] for c in suite.constraints) == [
+        "l_orderkey", "l_partkey", "l_suppkey"
+    ]
