@@ -28,6 +28,7 @@ per-row Python.
 from __future__ import annotations
 
 import json
+import re
 from functools import reduce
 from typing import Any
 
@@ -42,8 +43,71 @@ from data_profiler_spark.operators.registry import register
 from data_profiler_spark.plans.fused import AggTerm, CompiledConstraint, metric_alias
 
 
-def _row_condition(c: Constraint) -> Column | None:
+class ConditionParserError(ValueError):
+    """Unparseable experimental-DSL row condition (ref
+    expectations/row_conditions.py:57-58)."""
+
+
+# the reference's pyparsing mini-grammar (row_conditions.py:27-53) as one
+# regex: col("<alpha then alnum/_/.>") followed by .notnull() OR an
+# operator and a number / quoted alnum-dot literal
+_DSL_CONDITION_RE = re.compile(
+    r'^\s*col\("(?P<column>[A-Za-z][A-Za-z0-9_.]*)"\)\s*'
+    r"(?:(?P<notnull>\.notnull\(\))|"
+    r"(?P<op>>=|<=|==|>|<)\s*"
+    r"(?P<rhs>[+-]?\d+(?:\.\d*)?(?:[eE][+-]?\d+)?"
+    r"|\"[A-Za-z0-9.]*\"|'[A-Za-z0-9.]*'))\s*$"
+)
+
+
+def translate_experimental_condition(rc: str) -> str:
+    """Translate the reference's ``condition_parser="data_profiler__
+    experimental__"`` mini-DSL (ref row_conditions.py:27-96 — the three
+    forms ``col("x") > 5``, ``col("x") == "lit"``, ``col("x").notnull()``)
+    to a Spark SQL expression, so GE config files with DSL conditions run
+    unchanged. String literals are valid only with ``==``, like the
+    reference's parse_condition_to_spark (:71-77)."""
+    m = _DSL_CONDITION_RE.match(rc)
+    if m is None:
+        raise ConditionParserError(f"unable to parse condition: {rc}")
+    col = "`" + m.group("column") + "`"
+    if m.group("notnull"):
+        return f"{col} IS NOT NULL"
+    op, rhs = m.group("op"), m.group("rhs")
+    if rhs[0] in "\"'":
+        if op != "==":
+            raise ConditionParserError(
+                f"Invalid operator: {op} for string literal spark condition."
+            )
+        return f"{col} = '{rhs[1:-1]}'"
+    return f"{col} {'=' if op == '==' else op} {rhs}"
+
+
+def _row_condition_sql(c: Constraint) -> str | None:
+    """The row condition as a Spark SQL string — translated first when the
+    constraint declares the experimental DSL parser. The TRANSLATED string
+    is also the fused-pass metric-alias key, so a DSL condition and a SQL
+    condition share aggregates exactly when they mean the same filter."""
     rc = c.kwargs.get("row_condition")
+    if not rc:
+        return None
+    parser = c.kwargs.get("condition_parser")
+    if parser in (
+        "data_profiler__experimental__",
+        "great_expectations__experimental__",
+    ):
+        return translate_experimental_condition(rc)
+    if parser in (None, "spark", "sql"):
+        return rc
+    raise ConditionParserError(
+        f"unsupported condition_parser {parser!r}: this engine executes "
+        "Spark SQL row conditions ('spark'/'sql'/omitted) and translates "
+        "the experimental DSL; 'pandas' df.query syntax is not supported"
+    )
+
+
+def _row_condition(c: Constraint) -> Column | None:
+    rc = _row_condition_sql(c)
     return F.expr(rc) if rc else None
 
 
@@ -63,7 +127,7 @@ def compile_map_constraint(
     """Shared lowering for every map constraint."""
     kw = constraint.kwargs
     rc = _row_condition(constraint)
-    rc_key = kw.get("row_condition")
+    rc_key = _row_condition_sql(constraint)
 
     elem_a = metric_alias("element_count", rc=rc_key)
     full_unexpected = _guard(rc, domain_nonnull & unexpected) if denominator == "nonnull" else _guard(rc, unexpected)

@@ -2424,3 +2424,260 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, p in fails
         ],
     )
+
+
+# ===========================================================================
+# 17. URN cross-suite evaluation parameters (NEW r6): suite A's verdicts
+#     land in the REAL results store, suite B pins its thresholds to A's
+#     stored observed values via urn:validations $PARAMETERs — the
+#     reference's cross-suite story (core/evaluation_parameters.py:30-227,
+#     core/urn.py) proven end-to-end on the store, not a dict fixture.
+# ===========================================================================
+
+_URN_ORACLE = """
+WITH m AS (
+  SELECT AVG(l_quantity) AS mean_q, COUNT(l_quantity) AS n_q,
+         COUNT(*) AS n FROM lineitem
+)
+SELECT 'above_prior_mean' AS metric,
+       (SELECT COUNT(*) FROM lineitem, m WHERE l_quantity > mean_q) = 0
+         AS success,
+       (SELECT CAST(COUNT(*) AS DOUBLE) FROM lineitem, m
+         WHERE l_quantity > mean_q) AS value
+UNION ALL
+SELECT 'row_count_equals_prior_element_count',
+       TRUE, (SELECT CAST(n AS DOUBLE) FROM m)
+UNION ALL
+SELECT 'prior_run_was_successful', TRUE, 1.0
+"""
+
+
+def _urn_store_path(sf_dir: str) -> str:
+    import os.path
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
+    return f"/tmp/dps_fixture/{sf_name}/urn_results_store.parquet"
+
+
+@register_query("urn_cross_suite_verdicts", _URN_ORACLE)
+def q_urn_cross_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sources/results_store.py evaluation_parameters (ref
+    core/evaluation_parameters.py:98-132, core/urn.py): suite A observes
+    the mean of l_quantity and a between-count; its verdict rows are
+    APPENDED to a ResultsStore (per-sf path; re-runs append a new run_id
+    and resolution picks the latest by started_at_ms). Suite B then pins
+    a max_value to ``urn:validations:<cid>:observed_value`` and a row
+    count to ``:element_count``, resolved from the store — so the oracle
+    independently recomputes B's verdicts from lineitem alone: count
+    above the prior mean, row count equal to the prior element count,
+    and the prior run's stored success bit."""
+    import time as _time
+    import uuid as _uuid
+
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.sources.results_store import ResultsStore
+    from data_profiler_spark.validator import Validator
+
+    li = _t(spark, sf_dir, "lineitem")
+    store = ResultsStore(spark, _urn_store_path(sf_dir))
+
+    # --- run A: observe, then persist the verdict rows ------------------
+    suite_a = (
+        ConstraintSuite("urn_upstream")
+        .add("expect_column_mean_to_be_between",
+             column="l_quantity", min_value=0)
+        .add("expect_column_values_to_be_between",
+             column="l_quantity", min_value=0, max_value=10**9)
+    )
+    res_a = Validator(li).validate(suite_a)
+    now = int(_time.time() * 1000)
+    run_id = _uuid.uuid4().hex[:12]
+    store.append_rows(
+        [
+            {
+                **r.to_row(),
+                "run_id": run_id,
+                "suite_fingerprint": suite_a.fingerprint,
+                "snapshot_id": "",
+                "partition_id": "all",
+                "started_at_ms": now,
+                "finished_at_ms": now,
+                "duration_ms": 0,
+            }
+            for r in res_a.results
+        ]
+    )
+
+    # --- resolve URNs from the store, pin suite B to them ----------------
+    params = store.evaluation_parameters(suite_a.fingerprint)
+    cid_mean = suite_a.constraints[0].id
+    cid_between = suite_a.constraints[1].id
+    suite_b = (
+        ConstraintSuite("urn_downstream")
+        .add(
+            "expect_column_values_to_be_between",
+            column="l_quantity",
+            max_value={
+                "$PARAMETER": f"urn:validations:{cid_mean}:observed_value"
+            },
+        )
+        .add(
+            "expect_table_row_count_to_equal",
+            value={
+                "$PARAMETER": f"urn:validations:{cid_between}:element_count"
+            },
+        )
+    )
+    res_b = Validator(li, evaluation_parameters=params).validate(suite_b)
+    b1, b2 = res_b.results
+    prior_ok = bool(
+        params[f"urn:validations:{cid_mean}:success"]
+        and params[f"urn:validations:{cid_between}:success"]
+    )
+    rows = [
+        ("above_prior_mean", bool(b1.success), float(b1.unexpected_count)),
+        (
+            "row_count_equals_prior_element_count",
+            bool(b2.success),
+            float(b2.observed_value),
+        ),
+        ("prior_run_was_successful", prior_ok, 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, success boolean, value double"
+    )
+
+
+# ===========================================================================
+# 18. Multi-run profile diffing (NEW r6): two profile runs' STORED sketches
+#     -> per-column drift verdicts, no re-scan of the baseline data
+# ===========================================================================
+
+def _chi2_crit_2x6() -> float:
+    # plan-time constant: critical value for the 2 x (5 values + tail)
+    # event_type contingency at alpha 0.05 -> dof (2-1)(6-1) = 5
+    from data_profiler_spark.functions.stats import chi2_critical
+
+    return float(chi2_critical(5, 0.05))
+
+
+_PROFILE_DIFF_ORACLE = f"""
+WITH a AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+     b AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+     na AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(COUNT(*) FILTER (event_type IS NULL) AS DOUBLE) AS z_et,
+                   CAST(COUNT(*) FILTER (value IS NULL) AS DOUBLE) AS z_v,
+                   CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS d_et,
+                   CAST(COUNT(DISTINCT value) AS DOUBLE) AS d_v,
+                   AVG(LENGTH(event_type)) AS m_et, STDDEV_SAMP(LENGTH(event_type)) AS s_et,
+                   AVG(value) AS m_v, STDDEV_SAMP(value) AS s_v FROM a),
+     nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(COUNT(*) FILTER (event_type IS NULL) AS DOUBLE) AS z_et,
+                   CAST(COUNT(*) FILTER (value IS NULL) AS DOUBLE) AS z_v,
+                   CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS d_et,
+                   CAST(COUNT(DISTINCT value) AS DOUBLE) AS d_v,
+                   AVG(LENGTH(event_type)) AS m_et, STDDEV_SAMP(LENGTH(event_type)) AS s_et,
+                   AVG(value) AS m_v, STDDEV_SAMP(value) AS s_v FROM b),
+     ca AS (SELECT event_type AS v, CAST(COUNT(*) AS DOUBLE) AS c FROM a GROUP BY 1),
+     cb AS (SELECT event_type AS v, CAST(COUNT(*) AS DOUBLE) AS c FROM b GROUP BY 1),
+     cells AS (
+       SELECT COALESCE(ca.v, cb.v) AS v,
+              COALESCE(ca.c, 0) AS oa, COALESCE(cb.c, 0) AS ob
+       FROM ca FULL JOIN cb ON ca.v = cb.v
+     ),
+     chi2 AS (
+       SELECT SUM(CASE WHEN oa + ob > 0 THEN
+           pow(oa - (oa + ob) * (SELECT n FROM na) / ((SELECT n FROM na) + (SELECT n FROM nb)), 2)
+             / ((oa + ob) * (SELECT n FROM na) / ((SELECT n FROM na) + (SELECT n FROM nb)))
+         + pow(ob - (oa + ob) * (SELECT n FROM nb) / ((SELECT n FROM na) + (SELECT n FROM nb)), 2)
+             / ((oa + ob) * (SELECT n FROM nb) / ((SELECT n FROM na) + (SELECT n FROM nb)))
+         ELSE 0 END) AS stat
+       FROM cells
+     )
+SELECT 'event_type' AS column_name, 'chi2_topk' AS test,
+       ROUND((SELECT stat FROM chi2), 6) AS stat,
+       (SELECT stat FROM chi2) >= {{crit}} AS drift
+UNION ALL
+SELECT 'event_type', 'null_fraction',
+       ROUND(ABS((SELECT z_et / n FROM na) - (SELECT z_et / n FROM nb)), 6), NULL
+UNION ALL
+SELECT 'event_type', 'distinct_delta',
+       ROUND(ABS((SELECT d_et FROM na) - (SELECT d_et FROM nb))
+             / GREATEST((SELECT d_et FROM na), 1), 6), NULL
+UNION ALL
+SELECT 'event_type', 'mean_shift',
+       ROUND(ABS((SELECT m_et FROM na) - (SELECT m_et FROM nb))
+             / sqrt((pow((SELECT s_et FROM na), 2) + pow((SELECT s_et FROM nb), 2)) / 2), 6), NULL
+UNION ALL
+SELECT 'value', 'null_fraction',
+       ROUND(ABS((SELECT z_v / n FROM na) - (SELECT z_v / n FROM nb)), 6), NULL
+UNION ALL
+SELECT 'value', 'distinct_delta',
+       ROUND(ABS((SELECT d_v FROM na) - (SELECT d_v FROM nb))
+             / GREATEST((SELECT d_v FROM na), 1), 6), NULL
+UNION ALL
+SELECT 'value', 'mean_shift',
+       ROUND(ABS((SELECT m_v FROM na) - (SELECT m_v FROM nb))
+             / sqrt((pow((SELECT s_v FROM na), 2) + pow((SELECT s_v FROM nb), 2)) / 2), 6), NULL
+"""
+
+
+def _profile_store_path(sf_dir: str) -> str:
+    import os.path
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
+    return f"/tmp/dps_fixture/{sf_name}/profile_store.parquet"
+
+
+@register_query(
+    "profile_drift_verdicts",
+    _PROFILE_DIFF_ORACLE.replace("{crit}", repr(_chi2_crit_2x6())),
+)
+def q_profile_drift_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/profile_diff.py (SURVEY §2.9 'baseline profile rows',
+    completed): profile the first and second halves of January's events
+    as two runs into a ProfileStore, then compare the STORED sketches —
+    chi-square over the stored top-k counts (oracle-exact: top_k=8 covers
+    all 5 event types, and the drift verdict's critical value is the same
+    plan-time constant inlined into the SQL), plus null-fraction /
+    exact-distinct / mean-shift deltas recomputed by the oracle from the
+    raw halves. The interpolated-KS branch is pinned in
+    tests/test_profile.py (bin edges are data-dependent — not portable
+    SQL). The baseline half is never re-scanned at compare time."""
+    from data_profiler_spark.operators.profile import profile
+    from data_profiler_spark.operators.profile_diff import (
+        ProfileStore,
+        compare_profile_runs,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.to_timestamp(F.lit("2024-01-16"))
+    kwargs = dict(
+        columns=["event_type", "value"],
+        categorical_columns=["event_type"],
+        top_k=8,
+        approx_distinct=False,
+    )
+    pa = profile(ev.where(F.col("ts") < split), **kwargs)
+    pb = profile(ev.where(F.col("ts") >= split), **kwargs)
+
+    store = ProfileStore(spark, _profile_store_path(sf_dir))
+    # one overwrite + one append per query run: re-runs replace the pair
+    store.append_profiles(pa, "run_a", "events_halves", mode="overwrite")
+    store.append_profiles(pb, "run_b", "events_halves", mode="append")
+
+    verdicts = compare_profile_runs(store, "run_a", "run_b")
+    keep = {"chi2_topk", "null_fraction", "distinct_delta", "mean_shift"}
+    rows = [
+        (
+            r["column_name"],
+            r["test"],
+            round(float(r["stat"]), 6) if r["stat"] is not None else None,
+            r["drift"],
+        )
+        for r in verdicts.collect()
+        if r["test"] in keep
+    ]
+    return spark.createDataFrame(
+        rows, "column_name string, test string, stat double, drift boolean"
+    )

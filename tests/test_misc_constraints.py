@@ -286,3 +286,70 @@ def test_compile_cache_is_bounded_lru_with_normalized_keys(typed_small):
     plan_int2 = v.compile(suite)  # re-insert (old entry was evicted)
     v.ctx["evaluation_parameters"]["expected_rows"] = 30.0
     assert v.compile(suite) is plan_int2
+
+
+def test_experimental_condition_dsl_translation(typed_small):
+    """VERDICT r5 #8: GE suites with condition_parser=
+    data_profiler__experimental__ (ref row_conditions.py:27-96) run
+    unchanged — the three DSL forms translate to Spark SQL; everything
+    else fails with a clear ConditionParserError."""
+    import pytest
+
+    from data_profiler_spark.operators.map_constraints import (
+        ConditionParserError,
+        translate_experimental_condition,
+    )
+
+    assert translate_experimental_condition('col("x") > 5') == "`x` > 5"
+    assert translate_experimental_condition('col("x") >= -1.5e3') == "`x` >= -1.5e3"
+    assert (
+        translate_experimental_condition('col("a.b") == "lit"') == "`a.b` = 'lit'"
+    )
+    assert (
+        translate_experimental_condition("col(\"x\") == '4.2'") == "`x` = '4.2'"
+    )
+    assert (
+        translate_experimental_condition('col("x").notnull()')
+        == "`x` IS NOT NULL"
+    )
+    with pytest.raises(ConditionParserError, match="unable to parse"):
+        translate_experimental_condition('col("x") in (1, 2)')
+    with pytest.raises(ConditionParserError, match="Invalid operator"):
+        translate_experimental_condition('col("x") > "str"')
+
+    # end to end: a DSL-conditioned suite equals its SQL-conditioned twin
+    dsl = ConstraintSuite.from_ge_dict(
+        {
+            "expectation_suite_name": "dsl",
+            "expectations": [
+                {
+                    "expectation_type": "expect_column_values_to_be_between",
+                    "kwargs": {
+                        "column": "ints",
+                        "min_value": 3,
+                        "max_value": 8,
+                        "row_condition": 'col("pair_a") > 1',
+                        "condition_parser": "data_profiler__experimental__",
+                    },
+                }
+            ],
+        }
+    )
+    sql = ConstraintSuite("sql").add(
+        "expect_column_values_to_be_between",
+        column="ints", min_value=3, max_value=8, row_condition="pair_a > 1",
+    )
+    r_dsl = Validator(typed_small).validate(dsl).results[0]
+    r_sql = Validator(typed_small).validate(sql).results[0]
+    assert (r_dsl.element_count, r_dsl.unexpected_count, r_dsl.success) == (
+        r_sql.element_count, r_sql.unexpected_count, r_sql.success,
+    )
+    assert r_dsl.element_count > 0
+
+    # unsupported parser -> failed-compile verdict with the clear message
+    pandas_suite = ConstraintSuite("p").add(
+        "expect_column_values_to_not_be_null",
+        column="ints", row_condition="pair_a > 1", condition_parser="pandas",
+    )
+    r = Validator(typed_small).validate(pandas_suite).results[0]
+    assert not r.success and "condition_parser" in (r.exception_info or "")

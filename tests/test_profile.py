@@ -154,3 +154,143 @@ def test_profile_deferred_histograms(spark):
     finish()                             # runs the deferred pass, fills in place
     assert len(cp.hist_bins) == 6
     assert abs(sum(cp.hist_weights) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Multi-run profile diffing (NEW r6: SURVEY §2.9 "baseline profile rows")
+# ---------------------------------------------------------------------------
+
+
+def _diff_rows(col_a, col_b, **overrides):
+    """Two single-column sketch-row dicts for profile_compare."""
+    base = {
+        "group_json": "{}",
+        "row_count": 100,
+        "null_count": 0,
+        "approx_distinct": 10,
+        "min_v": None, "max_v": None, "mean_v": None, "stddev_v": None,
+        "quantiles": None, "hist_bins": None, "hist_weights": None,
+        "top_k_json": None,
+    }
+    a = {**base, "column_name": "x", **col_a}
+    b = {**base, "column_name": "x", **col_b}
+    return [a], [b]
+
+
+def test_profile_compare_ks_identical_bins_matches_hist_ks():
+    """Identical bin edges: the interpolated-CDF KS reduces exactly to
+    stats.ks_2samp_from_hist (boundary CDFs coincide)."""
+    from data_profiler_spark.functions import stats
+    from data_profiler_spark.operators.profile_diff import profile_compare
+
+    bins = [0.0, 1.0, 2.0, 3.0, 4.0]
+    wa = [0.1, 0.2, 0.3, 0.4]
+    wb = [0.4, 0.3, 0.2, 0.1]
+    a, b = _diff_rows(
+        {"hist_bins": bins, "hist_weights": wa, "row_count": 200},
+        {"hist_bins": bins, "hist_weights": wb, "row_count": 300},
+    )
+    (ks,) = [r for r in profile_compare(a, b) if r["test"] == "ks_hist"]
+    d_ref, p_ref = stats.ks_2samp_from_hist(wa, wb, 200, 300)
+    assert ks["stat"] == pytest.approx(d_ref, abs=1e-12)
+    assert ks["p_value"] == pytest.approx(p_ref, abs=1e-12)
+    assert ks["drift"] == (p_ref <= 0.05)
+
+
+def test_profile_compare_ks_differing_bins_interpolates():
+    """Differing edges: same underlying uniform distribution sketched at
+    different granularities -> D ~ 0; a shifted distribution -> clear
+    drift. This is the path the SQL oracle can't express."""
+    from data_profiler_spark.operators.profile_diff import profile_compare
+
+    a, b = _diff_rows(
+        {"hist_bins": [0.0, 2.0, 4.0], "hist_weights": [0.5, 0.5],
+         "row_count": 500},
+        {"hist_bins": [0.0, 1.0, 2.0, 3.0, 4.0],
+         "hist_weights": [0.25, 0.25, 0.25, 0.25], "row_count": 500},
+    )
+    (same,) = [r for r in profile_compare(a, b) if r["test"] == "ks_hist"]
+    assert same["stat"] == pytest.approx(0.0, abs=1e-12)
+    assert not same["drift"]
+
+    a, b = _diff_rows(
+        {"hist_bins": [0.0, 1.0, 2.0], "hist_weights": [1.0, 0.0],
+         "row_count": 500},
+        {"hist_bins": [0.5, 1.5, 2.5], "hist_weights": [0.0, 1.0],
+         "row_count": 500},
+    )
+    (shift,) = [r for r in profile_compare(a, b) if r["test"] == "ks_hist"]
+    assert shift["stat"] > 0.7 and shift["drift"]
+
+
+def test_profile_compare_chi2_and_scalars_and_presence():
+    import json
+
+    from data_profiler_spark.functions import stats
+    from data_profiler_spark.operators.profile_diff import profile_compare
+
+    a, b = _diff_rows(
+        {
+            "top_k_json": json.dumps(
+                [{"value": "x", "count": 50}, {"value": "y", "count": 40}]
+            ),
+            "row_count": 100, "null_count": 10,
+            "mean_v": 10.0, "stddev_v": 2.0, "approx_distinct": 10,
+        },
+        {
+            "top_k_json": json.dumps(
+                [{"value": "y", "count": 70}, {"value": "z", "count": 20}]
+            ),
+            "row_count": 100, "null_count": 0,
+            "mean_v": 14.0, "stddev_v": 2.0, "approx_distinct": 15,
+        },
+    )
+    by = {r["test"]: r for r in profile_compare(a, b)}
+    # chi2 over union {x,y,z} + tail (90-90=0 / 100-90=10)
+    stat_ref, p_ref, dof = stats.chi2_contingency(
+        [[50, 40, 0, 0], [0, 70, 20, 10]]
+    )
+    assert by["chi2_topk"]["stat"] == pytest.approx(stat_ref)
+    assert by["chi2_topk"]["p_value"] == pytest.approx(p_ref)
+    assert by["chi2_topk"]["drift"]
+    assert by["null_fraction"]["stat"] == pytest.approx(0.1)
+    assert by["distinct_delta"]["stat"] == pytest.approx(0.5)
+    assert by["mean_shift"]["stat"] == pytest.approx(4.0 / 2.0)
+
+    # presence: a column existing in only one run is itself a drift verdict
+    b2 = [dict(b[0], column_name="renamed")]
+    tests = {(r["column_name"], r["test"]): r for r in profile_compare(a, b2)}
+    assert tests[("x", "presence")]["drift"]
+    assert tests[("renamed", "presence")]["drift"]
+
+
+def test_profile_store_roundtrip_and_compare(spark, typed_small, tmp_path):
+    """End to end on the real profiler + store: two halves of typed_small,
+    sketches persisted, compared from the STORE (no re-profiling)."""
+    from data_profiler_spark.operators.profile_diff import (
+        ProfileStore,
+        compare_profile_runs,
+    )
+
+    store = ProfileStore(spark, str(tmp_path / "profiles"))
+    halves = [
+        typed_small.where("pair_a <= 1"),
+        typed_small.where("pair_a > 1"),
+    ]
+    for run_id, half in zip(("run_a", "run_b"), halves):
+        tps = profile(
+            half, columns=["ints", "cat"], categorical_columns=["cat"],
+            approx_distinct=False, hist_bins=5,
+        )
+        store.append_profiles(tps, run_id, "halves")
+
+    v = compare_profile_runs(store, "run_a", "run_b")
+    rows = {(r["column_name"], r["test"]): r for r in v.collect()}
+    assert ("cat", "chi2_topk") in rows
+    assert ("ints", "ks_hist") in rows
+    assert rows[("ints", "null_fraction")]["stat"] is not None
+    # verdicts DataFrame has the documented schema
+    assert set(v.columns) == {
+        "group_json", "column_name", "test", "stat", "p_value", "drift",
+        "detail_json",
+    }

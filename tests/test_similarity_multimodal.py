@@ -1001,3 +1001,87 @@ def test_streaming_drift_unnormalized_baseline(spark, tmp_path):
             batch, "ts", "event_type",
             {"values": types, "weights": [0.0] * k, "n": 5000},
         )
+
+
+def test_streaming_drift_parity_with_batch_property(spark):
+    """VERDICT r5 #9 (stretch): the closed-form streaming chi2/KS verdicts
+    equal the batch c_drift verdicts on identical window data — the
+    bit-identical claim in the docstrings, property-tested across seeded
+    random datasets/baselines instead of spot-tested."""
+    import datetime
+
+    import numpy as np
+
+    from data_profiler_spark.core.suite import ConstraintSuite
+    from data_profiler_spark.functions import stats
+    from data_profiler_spark.streaming.profile_stream import (
+        streaming_drift,
+        streaming_drift_ks,
+    )
+    from data_profiler_spark.validator import Validator
+
+    day = datetime.datetime(2024, 3, 1)
+    alpha = 0.05
+
+    for seed in range(10):
+        rng = np.random.default_rng(seed)
+
+        # --- categorical / chi-square -----------------------------------
+        k = int(rng.integers(2, 6))
+        values = [f"v{i}" for i in range(k)]
+        # random window data: listed values + occasional unlisted + NULLs
+        draws = rng.choice(values + ["other"], size=200,
+                           p=np.r_[rng.dirichlet(np.ones(k)) * 0.9, [0.1]])
+        rows = [
+            (day + datetime.timedelta(seconds=int(i)),
+             None if rng.random() < 0.05 else str(v))
+            for i, v in enumerate(draws)
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, cat string")
+        w = rng.dirichlet(np.ones(k))
+        baseline = {"values": values, "weights": [float(x) for x in w],
+                    "n": int(rng.integers(100, 5000))}
+
+        suite = ConstraintSuite("drift").add(
+            "expect_column_distribution_to_match_baseline",
+            column="cat", baseline=baseline, p=alpha,
+        )
+        batch_res = Validator(df).validate(suite).results[0]
+        (srow,) = streaming_drift(
+            df, "ts", "cat", baseline, window="1 day", alpha=alpha
+        ).collect()
+        assert srow["drift_detected"] == (not batch_res.success), (
+            f"chi2 verdict mismatch seed={seed}"
+        )
+        # same statistic the batch path feeds chi2_contingency
+        assert abs(srow["chi2_stat"] - batch_res.details["chi2"]) < 1e-9
+
+        # --- continuous / KS --------------------------------------------
+        edges = sorted(set(np.round(rng.uniform(0, 100, size=5), 2)))
+        while len(edges) < 3:
+            edges.append(edges[-1] + 10.0)
+        bw = rng.dirichlet(np.ones(len(edges) - 1))
+        kbase = {"bins": [float(e) for e in edges],
+                 "weights": [float(x) for x in bw],
+                 "n": int(rng.integers(100, 5000))}
+        xs = rng.uniform(min(edges) - 5, max(edges) + 5, size=200)
+        krows = [
+            (day + datetime.timedelta(seconds=int(i)),
+             None if rng.random() < 0.05 else float(x))
+            for i, x in enumerate(xs)
+        ]
+        kdf = spark.createDataFrame(krows, "ts timestamp, x double")
+        ksuite = ConstraintSuite("kdrift").add(
+            "expect_column_distribution_to_match_baseline",
+            column="x", baseline=kbase, p=alpha,
+        )
+        kbatch = Validator(kdf).validate(ksuite).results[0]
+        (krow,) = streaming_drift_ks(
+            kdf, "ts", "x", kbase, window="1 day", alpha=alpha
+        ).collect()
+        assert krow["drift_detected"] == (not kbatch.success), (
+            f"ks verdict mismatch seed={seed}"
+        )
+        assert abs(krow["ks_stat"] - kbatch.details["ks_d"]) < 1e-9, (
+            f"ks D mismatch seed={seed}"
+        )
