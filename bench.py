@@ -68,6 +68,12 @@ HEADLINE = [
     "north_profile_by_lang",
     "north_verdicts",
     "rule_profile_ranges",
+    # NEW r6
+    "rule_profile_bootstrap_ranges",
+    "urn_cross_suite_verdicts",
+    "profile_drift_verdicts",
+    "doc_chunks",
+    "unigram_doc_quality",
 ]
 
 

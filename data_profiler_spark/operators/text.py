@@ -408,3 +408,86 @@ def gopher_like_filter(
         *[v.alias(k) for k, v in rules.items()],
         keep.alias("keep"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks — the unit a
+    training/embedding pipeline feeds downstream (beyond the reference:
+    it has no corpus restructuring operators).
+
+    Chunk c starts at token ``c * (chunk_tokens - overlap)``; the last
+    chunk may be shorter; zero-token documents yield zero chunks. One
+    narrow projection + one ``posexplode`` — rows fan out by
+    ceil(n_tokens / stride) per doc and nothing shuffles: at 100 TB this
+    is embarrassingly parallel and the output is written partition-local.
+
+    Output: id_cols + (chunk_index, n_tokens, chunk_text)."""
+    if overlap < 0 or chunk_tokens <= overlap:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens (got {overlap}/{chunk_tokens})"
+        )
+    ids = list(id_cols or ["doc_id"])
+    stride = chunk_tokens - overlap
+    toked = df.select(*ids, tokens(F.col(text_col)).alias("__toks")).where(
+        F.size("__toks") > 0
+    )
+    n = F.size("__toks")
+    exploded = toked.select(
+        *ids,
+        F.col("__toks"),
+        F.posexplode(
+            F.sequence(F.lit(0), n - 1, F.lit(stride))
+        ).alias("chunk_index", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return exploded.select(
+        *ids,
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    vocab: DataFrame | None = None,
+    oov_logprob: float = -20.0,
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the CCNet-style LM
+    quality signal (low mean log-prob = rare-token soup / junk; beyond
+    the reference, which has no corpus-level text scoring).
+
+    With ``vocab=None`` the unigram model is fitted on ``df`` itself
+    (self-perplexity): ONE token-count aggregation (shuffle ∝ distinct
+    tokens), then the exploded tokens join the (token, count) table —
+    AQE broadcasts it when it is small, else a shuffle join on the token
+    key; either way nothing is quadratic and nothing lands on the
+    driver. Pass a pre-fitted ``vocab`` DataFrame (token, c) to score a
+    corpus against a REFERENCE model (the real pipeline shape: fit on
+    clean data, score the crawl); unseen tokens get the ``oov_logprob``
+    floor via a left join.
+
+    Output: id_cols + (n_tokens, mean_logprob)."""
+    ids = list(id_cols or ["doc_id"])
+    tok = df.select(*ids, F.explode(tokens(F.col(text_col))).alias("tok"))
+    fitted = vocab if vocab is not None else tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    total = fitted.agg(F.sum("c").cast("double").alias("__total"))
+    how = "left" if vocab is not None else "inner"
+    scored = tok.join(fitted, on="tok", how=how).crossJoin(F.broadcast(total))
+    logp = F.log(F.col("c").cast("double") / F.col("__total"))
+    if vocab is not None:
+        logp = F.coalesce(logp, F.lit(float(oov_logprob)))
+    return scored.groupBy(*ids).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.avg(logp).alias("mean_logprob"),
+    )

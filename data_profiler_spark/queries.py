@@ -2681,3 +2681,73 @@ def q_profile_drift_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "column_name string, test string, stat double, drift boolean"
     )
+
+
+# ===========================================================================
+# 19. Corpus restructuring + LM quality scoring (NEW r6)
+# ===========================================================================
+
+_CHUNKS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), s AS (
+  SELECT doc_id, ts, unnest(range(0, len(ts), 48)) AS start
+  FROM t WHERE len(ts) > 0
+)
+SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_index,
+       CAST(LEAST(64, len(ts) - start) AS BIGINT) AS n_tokens,
+       md5(array_to_string(ts[start + 1 : start + 64], ' ')) AS chunk_md5
+FROM s
+"""
+
+
+@register_query("doc_chunks", _CHUNKS_ORACLE)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/text.py chunk_documents: overlapping 64-token chunks
+    (stride 48), the embedding/training feed unit. Chunk text is md5'd so
+    the oracle compares every chunk byte-exactly without shipping the
+    corpus through the compare. No shuffle anywhere — pure projection +
+    posexplode."""
+    from data_profiler_spark.operators.text import chunk_documents
+
+    d = _docs(spark, sf_dir)
+    ch = chunk_documents(d, "text", ["doc_id"], chunk_tokens=64, overlap=16)
+    return ch.select(
+        "doc_id", "chunk_index", "n_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+_UNIGRAM_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), v AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY 1
+), t AS (SELECT SUM(c) AS total FROM v)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(LN(c / total)), 6) AS mean_logprob
+FROM tok JOIN v USING (tok), t
+GROUP BY doc_id
+"""
+
+
+@register_query("unigram_doc_quality", _UNIGRAM_ORACLE)
+def q_unigram_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/text.py unigram_logprob: per-doc mean unigram
+    log-probability under a model fitted on the corpus itself (the
+    CCNet-style LM quality signal). One token-count agg + one join on the
+    token key (AQE broadcasts the small fitted vocab); the oracle refits
+    the same model in SQL."""
+    from data_profiler_spark.operators.text import unigram_logprob
+
+    d = _docs(spark, sf_dir)
+    out = unigram_logprob(d, "text", ["doc_id"])
+    return out.select(
+        "doc_id", "n_tokens", F.round("mean_logprob", 6).alias("mean_logprob")
+    )

@@ -464,3 +464,64 @@ def test_connected_components_rejects_non_integral_ids(spark):
     )
     comps = {r.component for r in connected_components(hashed).collect()}
     assert len(comps) == 1  # a-b-c is one component
+
+
+def test_chunk_documents(spark):
+    from data_profiler_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+            (2, "a b c"),  # 3 tokens -> one short chunk
+            (3, ""),  # empty -> no chunks
+            (4, None),  # null -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "text", ["doc_id"], chunk_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_index"]): r for r in out.collect()}
+    # doc 1: stride 3 -> starts 0,3,6,9
+    assert [k for k in sorted(rows) if k[0] == 1] == [(1, i) for i in range(4)]
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 1)]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
+    assert rows[(1, 3)]["chunk_text"] == "w9" and rows[(1, 3)]["n_tokens"] == 1
+    assert rows[(2, 0)]["chunk_text"] == "a b c" and rows[(2, 0)]["n_tokens"] == 3
+    assert not [k for k in rows if k[0] in (3, 4)]
+    # chunks reassemble the doc: stride-consecutive chunks share `overlap`
+    assert sum(r["n_tokens"] for k, r in rows.items() if k[0] == 1) == 10 + 3 * 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "text", ["doc_id"], chunk_tokens=4, overlap=4)
+
+
+def test_unigram_logprob_self_and_reference_vocab(spark):
+    import math
+
+    from data_profiler_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")],
+        "doc_id long, text string",
+    )
+    # corpus counts: a=2 b=2 c=1, total 5
+    out = {r["doc_id"]: r for r in unigram_logprob(df, "text", ["doc_id"]).collect()}
+    exp1 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    exp2 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert out[1]["mean_logprob"] == pytest.approx(exp1)
+    assert out[2]["mean_logprob"] == pytest.approx(exp2)
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+
+    # reference-vocab mode: fit on doc 1 only, score both; OOV floor for c
+    vocab = spark.createDataFrame([("a", 2), ("b", 1)], "tok string, c long")
+    ref = {
+        r["doc_id"]: r
+        for r in unigram_logprob(
+            df, "text", ["doc_id"], vocab=vocab, oov_logprob=-9.0
+        ).collect()
+    }
+    exp1r = (2 * math.log(2 / 3) + math.log(1 / 3)) / 3
+    exp2r = (math.log(1 / 3) + (-9.0)) / 2
+    assert ref[1]["mean_logprob"] == pytest.approx(exp1r)
+    assert ref[2]["mean_logprob"] == pytest.approx(exp2r)
