@@ -560,3 +560,56 @@ def test_simple_column_suffix_domain_builder(spark, typed_small):
     assert sorted(c.kwargs["column"] for c in suite.constraints) == [
         "l_orderkey", "l_partkey", "l_suppkey"
     ]
+
+
+def test_multibatch_accepts_full_reference_kwarg_shape(spark, typed_small):
+    """The ref's full __init__ kwarg surface (numeric_metric_range_multi_
+    batch_parameter_builder.py:54-133) — including the keys our engine
+    doesn't need (data_context, module_name) — instantiates unchanged."""
+    cfg = {
+        "rules": {
+            "r": {
+                "domain_builder": {
+                    "class_name": "ColumnDomainBuilder",
+                    "module_name": "data_profiler.rule_based_profiler.domain_builder",
+                    "include_columns": ["floats"],
+                },
+                "parameter_builders": [
+                    {
+                        "class_name": "NumericMetricRangeMultiBatchParameterBuilder",
+                        "module_name": "data_profiler.rule_based_profiler.parameter_builder",
+                        "parameter_name": "range",
+                        "metric_name": "column.mean",
+                        "metric_domain_kwargs": "$domain.domain_kwargs",
+                        "metric_value_kwargs": None,
+                        "sampling_method": "bootstrap",
+                        "enforce_numeric_metric": True,
+                        "replace_nan_with_zero": True,
+                        "false_positive_rate": 0.05,
+                        "num_bootstrap_samples": 199,
+                        "round_decimals": 2,
+                        "truncate_values": {"lower_bound": 0, "upper_bound": None},
+                        "data_context": None,
+                        "batch_request": {"batch_identifier_columns": ["cat"]},
+                    }
+                ],
+                "expectation_configuration_builders": [
+                    {
+                        "expectation_type": "expect_column_mean_to_be_between",
+                        "column": "$domain.domain_kwargs.column",
+                        "min_value": "$parameter.range.value.min_value",
+                        "max_value": "$parameter.range.value.max_value",
+                        "meta": {"profiler_details": "$parameter.range.details"},
+                    }
+                ],
+            }
+        }
+    }
+    suite = RuleBasedProfiler(cfg).profile(typed_small)
+    (c,) = suite.constraints
+    assert 0 <= c.kwargs["min_value"] <= c.kwargs["max_value"]
+    # round_decimals=2 applied
+    assert round(c.kwargs["min_value"], 2) == c.kwargs["min_value"]
+    meta = suite.meta["expectation_meta"][c.id]["profiler_details"]
+    assert meta["num_batches"] >= 2
+    assert meta["metric_configuration"]["metric_name"] == "column.mean"
