@@ -465,29 +465,47 @@ def unigram_logprob(
     quality signal (low mean log-prob = rare-token soup / junk; beyond
     the reference, which has no corpus-level text scoring).
 
-    With ``vocab=None`` the unigram model is fitted on ``df`` itself
-    (self-perplexity): ONE token-count aggregation (shuffle ∝ distinct
-    tokens), then the exploded tokens join the (token, count) table —
-    AQE broadcasts it when it is small, else a shuffle join on the token
-    key; either way nothing is quadratic and nothing lands on the
-    driver. Pass a pre-fitted ``vocab`` DataFrame (token, c) to score a
+    Physical shape — the corpus text is tokenized and scanned ONCE: the
+    per-(doc, token) multiplicities come from one map-side-combined
+    aggregation; the fitted vocab derives from THOSE counts and, in
+    self-fit mode, is materialized executor-side via
+    ``localCheckpoint(eager=True)`` (size ∝ distinct tokens — never the
+    driver) so neither the vocab-total scalar nor the scoring join
+    re-tokenizes the corpus (Catalyst does not dedup a lazily shared
+    subplan; without the cut this operator scanned the text three
+    times). The scoring join is on the token key — AQE broadcasts the
+    fitted side when small — and the per-doc mean is the
+    multiplicity-weighted mean, so no exploded row survives the first
+    shuffle. Pass a pre-fitted ``vocab`` DataFrame (tok, c) to score a
     corpus against a REFERENCE model (the real pipeline shape: fit on
     clean data, score the crawl); unseen tokens get the ``oov_logprob``
     floor via a left join.
 
     Output: id_cols + (n_tokens, mean_logprob)."""
     ids = list(id_cols or ["doc_id"])
-    tok = df.select(*ids, F.explode(tokens(F.col(text_col))).alias("tok"))
-    fitted = vocab if vocab is not None else tok.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("c")
+    tok_counts = (
+        df.select(*ids, F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(*ids, "tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
     )
+    if vocab is None:
+        fitted = (
+            tok_counts.groupBy("tok")
+            .agg(F.sum("__cnt").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        how = "inner"
+    else:
+        fitted, how = vocab, "left"
     total = fitted.agg(F.sum("c").cast("double").alias("__total"))
-    how = "left" if vocab is not None else "inner"
-    scored = tok.join(fitted, on="tok", how=how).crossJoin(F.broadcast(total))
+    scored = tok_counts.join(fitted, on="tok", how=how).crossJoin(
+        F.broadcast(total)
+    )
     logp = F.log(F.col("c").cast("double") / F.col("__total"))
     if vocab is not None:
         logp = F.coalesce(logp, F.lit(float(oov_logprob)))
+    cnt = F.col("__cnt").cast("double")
     return scored.groupBy(*ids).agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.avg(logp).alias("mean_logprob"),
+        F.sum("__cnt").cast("long").alias("n_tokens"),
+        (F.sum(cnt * logp) / F.sum(cnt)).alias("mean_logprob"),
     )
