@@ -87,7 +87,18 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            res = con.sql(oracles[name])
+            sql = oracles[name]
+            # The IVF-refined oracle bakes the DRIVER gate's sf0.01 fixture
+            # path into its static SQL (per-sf paths, ADVICE r5). The
+            # driver always runs at sf0.01; this local replica retargets
+            # the path when checking other scales so the fixture replay
+            # stays engine-run-fresh instead of failing loudly.
+            sf_name = Path(sf_dir.rstrip("/")).name
+            if sf_name != "sf0.01":
+                sql = sql.replace(
+                    "/tmp/dps_fixture/sf0.01/", f"/tmp/dps_fixture/{sf_name}/"
+                )
+            res = con.sql(sql)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as exc:
