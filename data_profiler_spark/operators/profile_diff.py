@@ -97,7 +97,12 @@ class ProfileStore:
             [tuple(r.get(f.name) for f in PROFILE_SCHEMA.fields) for r in rows],
             PROFILE_SCHEMA,
         )
-        df.coalesce(1).write.mode(mode).parquet(self.path)
+        # repartition(1), NOT coalesce(1): coalescing a python-local
+        # relation folds every default-parallelism slice into one task
+        # that re-enters the Python runner per slice (~5 s for 6 rows at
+        # local[32], measured); a 1-partition shuffle of a few rows is
+        # ~0.5 s and writes the same single file
+        df.repartition(1).write.mode(mode).parquet(self.path)
 
     def run_rows(self, run_id: str, suite_id: str | None = None) -> list[dict]:
         """One run's sketch rows, collected — bounded by columns x groups

@@ -2644,7 +2644,7 @@ def q_profile_drift_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw halves. The interpolated-KS branch is pinned in
     tests/test_profile.py (bin edges are data-dependent — not portable
     SQL). The baseline half is never re-scanned at compare time."""
-    from data_profiler_spark.operators.profile import profile
+    from data_profiler_spark.operators.profile import TableProfile, profile
     from data_profiler_spark.operators.profile_diff import (
         ProfileStore,
         compare_profile_runs,
@@ -2652,14 +2652,24 @@ def q_profile_drift_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     split = F.to_timestamp(F.lit("2024-01-16"))
-    kwargs = dict(
+    # BOTH halves profiled in ONE grouped pass (group_by the half flag) —
+    # one scan instead of two full profile() job chains; the halves then
+    # land in the store as two distinct RUNS (group stripped: the run id,
+    # not the group key, is the comparison axis)
+    halved = ev.withColumn(
+        "__half", (F.col("ts") >= split).cast("int")
+    )
+    tps = profile(
+        halved,
         columns=["event_type", "value"],
+        group_by=["__half"],
         categorical_columns=["event_type"],
         top_k=8,
         approx_distinct=False,
     )
-    pa = profile(ev.where(F.col("ts") < split), **kwargs)
-    pb = profile(ev.where(F.col("ts") >= split), **kwargs)
+    by_half = {tp.group["__half"]: tp for tp in tps}
+    pa = [TableProfile(group={}, columns=by_half[0].columns)]
+    pb = [TableProfile(group={}, columns=by_half[1].columns)]
 
     store = ProfileStore(spark, _profile_store_path(sf_dir))
     # one overwrite + one append per query run: re-runs replace the pair
