@@ -1599,13 +1599,19 @@ def q_rule_profile_bootstrap_ranges(spark: SparkSession, sf_dir: str) -> DataFra
         "batch_month", F.date_trunc("month", F.col("l_shipdate"))
     )
     suite = RuleBasedProfiler(config).profile(li)
-    # observed per-batch mean range, for the bootstrap containment check
-    # (one tiny grouped agg; 1e-6 tolerance absorbs the 9-decimal rounding)
+    # observed per-batch mean range, for the bootstrap containment check —
+    # ONE grouped pass for all three columns, then one tiny agg over the
+    # ~83 batch rows (a per-column loop would re-scan lineitem per column;
+    # 1e-6 tolerance absorbs the 9-decimal rounding)
+    means = li.groupBy("batch_month").agg(
+        *[F.mean(c).alias(c) for c in _RBP_MB_COLS]
+    )
+    b_row = means.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in _RBP_MB_COLS],
+        *[F.max(c).alias(f"hi_{c}") for c in _RBP_MB_COLS],
+    ).first()
     bounds = {
-        c: li.groupBy("batch_month")
-        .agg(F.mean(c).alias("v"))
-        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
-        .first()
+        c: {"lo": b_row[f"lo_{c}"], "hi": b_row[f"hi_{c}"]}
         for c in _RBP_MB_COLS
     }
     meta = suite.meta.get("expectation_meta", {})
