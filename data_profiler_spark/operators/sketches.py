@@ -1,0 +1,115 @@
+"""Mergeable set sketches for corpus snapshot comparison.
+
+KMV / bottom-k distinct-value sketch (Beyer et al., SIGMOD 2007): keep the
+k smallest hash values of a key set; the k-th smallest estimates the
+distinct count ((k-1)/h_k for h_k normalized to [0,1)), and two sketches
+merge by taking the bottom-k of their union — which also yields a Jaccard
+estimate (the fraction of the merged bottom-k present in both sides).
+This is the scale path for "how much does crawl snapshot B overlap
+snapshot A" without joining the snapshots: each side reduces to k hashes
+(k ~ hundreds), the estimate is O(k) work, and the sketch is mergeable
+across partitions/days exactly like the engine's other distributive aggs.
+
+The reference has no sketch of this kind (its distinct counting is exact
+or HLL); this goes beyond it per the training-data mandate. Hashes are
+md5-prefix integers — the same engine-portable scheme as
+``operators/dedup.py`` — so an independent SQL re-implementation (the
+DuckDB oracle) reproduces every estimate bit-exactly.
+
+All plans are declarative: per-side sketch = distinct -> TakeOrdered(k)
+(map-side partial top-k, shuffle ∝ distinct keys — the same contract as
+exact dedup); the merge/estimate math runs as joins/aggs over <= 2k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 15 hex digits = 60 bits: exact in a BIGINT in both Spark and DuckDB
+# (16 digits could overflow the signed range), exact as a double's
+# 60-bit integer? no — but h/SPACE is only used as a ratio estimate,
+# where the < 2^-52 relative quantization is irrelevant and identical
+# in both engines.
+_HEX_DIGITS = 15
+HASH_SPACE = float(16**_HEX_DIGITS)
+
+
+def kmv_hash(col: Column) -> Column:
+    """md5-prefix hash of a key as a non-negative 60-bit BIGINT."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, _HEX_DIGITS), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(df: DataFrame, key_col: str | Column, k: int = 256) -> DataFrame:
+    """Bottom-k sketch of a key column: the k smallest DISTINCT hash
+    values, one ``h`` column. distinct -> orderBy -> limit compiles to a
+    map-side-combined HashAggregate + TakeOrderedAndProject — no global
+    sort materializes."""
+    col = F.col(key_col) if isinstance(key_col, str) else key_col
+    return (
+        df.select(kmv_hash(col).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(int(k))
+    )
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str | Column,
+    k: int = 256,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row estimate of |A|, |B|, |A ∪ B| and Jaccard(A, B) from two
+    bottom-k sketches, plus the intersection count within the merged
+    sketch. Deterministic given the inputs (pure hash order statistics).
+
+    Estimators (Beyer et al. §3): with h_k the k-th smallest normalized
+    hash of a set's sketch, distinct ≈ (k-1)/h_k; the merged bottom-k of
+    A ∪ B is itself the union's sketch, and the fraction of it present
+    in BOTH sides is an unbiased Jaccard estimate. If a side has fewer
+    than k distinct keys its sketch is exhaustive and the "estimate" is
+    exact (the count itself)."""
+    sk_a = kmv_sketch(df_a, key_col, k)
+    sk_b = kmv_sketch(df_b, key_col, k)
+    merged = sk_a.union(sk_b).distinct().orderBy("h").limit(int(k))
+    both = merged.join(sk_a, "h", "left_semi").join(sk_b, "h", "left_semi")
+
+    def est(sk: DataFrame, name: str) -> DataFrame:
+        # exhaustive sketch (n < k) -> exact count; else (k-1)/h_k
+        return sk.agg(
+            F.count("h").alias(f"__n_{name}"), F.max("h").alias(f"__hk_{name}")
+        )
+
+    parts = (
+        est(sk_a, "a")
+        .crossJoin(est(sk_b, "b"))
+        .crossJoin(est(merged, "u"))
+        .crossJoin(both.agg(F.count("h").alias("k_intersect")))
+    )
+
+    def distinct_est(name: str) -> Column:
+        n = F.col(f"__n_{name}")
+        hk = F.col(f"__hk_{name}").cast("double") / F.lit(HASH_SPACE)
+        return F.round(
+            F.when(n < F.lit(int(k)), n.cast("double")).otherwise(
+                (n.cast("double") - 1.0) / hk
+            ),
+            round_to,
+        )
+
+    jac = F.round(
+        F.col("k_intersect").cast("double") / F.col("__n_u").cast("double"),
+        round_to,
+    )
+    return parts.select(
+        F.lit(int(k)).alias("k"),
+        distinct_est("a").alias("est_distinct_a"),
+        distinct_est("b").alias("est_distinct_b"),
+        distinct_est("u").alias("est_distinct_union"),
+        F.col("k_intersect").cast("long").alias("k_intersect"),
+        jac.alias("est_jaccard"),
+    )

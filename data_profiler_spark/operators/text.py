@@ -509,3 +509,121 @@ def unigram_logprob(
         F.sum("__cnt").cast("long").alias("n_tokens"),
         (F.sum(cnt * logp) / F.sum(cnt)).alias("mean_logprob"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    n_buckets: int = 3,
+    vocab: DataFrame | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): score
+    every document with the unigram LM, then split the corpus into
+    ``n_buckets`` equal-population quality tiers (bucket 0 = lowest mean
+    log-prob = "tail", highest = "head") by exact score percentiles.
+
+    Physical shape: one :func:`unigram_logprob` pass (corpus tokenized
+    once), then an exact ``percentile`` AGGREGATE over the per-doc score
+    rows — a distributed single-column agg over n_docs rows, NOT a global
+    window sort, so nothing funnels through one task — and the
+    (n_buckets - 1) thresholds come back as one scalar row that broadcasts
+    into a ``when``-chain comparison. At 100 TB the threshold agg reads
+    the already-reduced per-doc scores (1 row/doc), and CCNet's
+    sample-the-thresholds refinement drops in by passing a pre-fitted
+    ``vocab`` and sampling df for the threshold pass only.
+
+    Scores are rounded to ``round_to`` decimals BEFORE the percentile so
+    an independent re-implementation (the DuckDB oracle) lands on an
+    identical threshold grid.
+
+    Output: id_cols + (n_tokens, mean_logprob, bucket_index)."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    ids = list(id_cols or ["doc_id"])
+    scored = unigram_logprob(df, text_col, ids, vocab=vocab).withColumn(
+        "mean_logprob", F.round("mean_logprob", round_to)
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    th_row = scored.agg(
+        *[
+            F.percentile("mean_logprob", F.lit(q)).alias(f"t{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).first()
+    thresholds = [float(th_row[f"t{i}"]) for i in range(len(qs))]
+    bucket = F.lit(len(qs))
+    for i in reversed(range(len(qs))):
+        bucket = F.when(
+            F.col("mean_logprob") <= F.lit(thresholds[i]), F.lit(i)
+        ).otherwise(bucket)
+    return scored.withColumn("bucket_index", bucket.cast("int"))
+
+
+def dsir_logratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    target_cond: Column | str | None = None,
+    oov_logprob: float = -20.0,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., NeurIPS 2023): per-doc
+    mean log importance ratio  E_tok[ln p_target(tok) - ln p_raw(tok)]
+    where the target LM is fitted on the rows matching ``target_cond``
+    (e.g. ``F.col('lang') == 'en'`` — the clean/in-domain subset) and the
+    raw LM on the whole input. High ratio = looks like the target domain;
+    downstream selection is top-k or exp(ratio)-proportional sampling.
+    DSIR proper uses hashed n-gram features; this uses the unigram
+    feature map shared with :func:`unigram_logprob` (documented delta —
+    the estimator shape and the one-pass physical plan are the same).
+
+    Physical shape: the corpus is tokenized and scanned ONCE — the
+    per-(doc, token) multiplicities carry a target flag, BOTH models
+    derive from one further groupBy(tok) over those counts (raw count +
+    conditional target count in the same agg, then
+    ``localCheckpoint(eager=True)`` to cut the shared-subplan re-scan,
+    same rationale as unigram_logprob), and scoring is one join on the
+    token key. Tokens unseen in the target subset get the
+    ``oov_logprob`` floor; tokens are always seen in raw (it is a
+    superset).
+
+    Output: id_cols + (n_tokens, mean_log_ratio)."""
+    ids = list(id_cols or ["doc_id"])
+    if target_cond is None:
+        raise ValueError("target_cond is required (the in-domain subset)")
+    cond = F.expr(target_cond) if isinstance(target_cond, str) else target_cond
+    tok_counts = (
+        df.select(
+            *ids,
+            cond.cast("int").alias("__tgt"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy(*ids, "__tgt", "tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    models = (
+        tok_counts.groupBy("tok")
+        .agg(
+            F.sum("__cnt").alias("c_raw"),
+            F.sum(F.when(F.col("__tgt") == 1, F.col("__cnt"))).alias("c_tgt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = models.agg(
+        F.sum("c_raw").cast("double").alias("__t_raw"),
+        F.sum("c_tgt").cast("double").alias("__t_tgt"),
+    )
+    scored = tok_counts.join(models, on="tok", how="inner").crossJoin(
+        F.broadcast(totals)
+    )
+    lp_tgt = F.coalesce(
+        F.log(F.col("c_tgt").cast("double") / F.col("__t_tgt")),
+        F.lit(float(oov_logprob)),
+    )
+    lp_raw = F.log(F.col("c_raw").cast("double") / F.col("__t_raw"))
+    cnt = F.col("__cnt").cast("double")
+    return scored.groupBy(*ids).agg(
+        F.sum("__cnt").cast("long").alias("n_tokens"),
+        (F.sum(cnt * (lp_tgt - lp_raw)) / F.sum(cnt)).alias("mean_log_ratio"),
+    )

@@ -2767,3 +2767,167 @@ def q_unigram_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_tokens", F.round("mean_logprob", 6).alias("mean_logprob")
     )
+
+
+# ===========================================================================
+# 20. Data-selection operators: CCNet buckets, DSIR weights, KMV overlap
+#     (NEW r6)
+# ===========================================================================
+
+_PPL_BUCKETS_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), v AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY 1
+), t AS (SELECT SUM(c) AS total FROM v),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(AVG(LN(c / total)), 6) AS s
+  FROM tok JOIN v USING (tok), t
+  GROUP BY doc_id
+), th AS (
+  SELECT quantile_cont(s, 1.0 / 3) AS t0, quantile_cont(s, 2.0 / 3) AS t1
+  FROM scored
+)
+SELECT CASE WHEN s <= t0 THEN 0 WHEN s <= t1 THEN 1 ELSE 2 END AS bucket_index,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(AVG(s), 6) AS avg_logprob
+FROM scored, th
+GROUP BY 1
+"""
+
+
+@register_query("perplexity_bucket_stats", _PPL_BUCKETS_ORACLE)
+def q_perplexity_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/text.py perplexity_buckets: CCNet-style head/middle/tail
+    corpus tiers by exact percentiles of the per-doc unigram LM score
+    (bucket 0 = tail). One corpus tokenization, one percentile AGG over
+    the reduced per-doc rows (no global sort), thresholds broadcast into
+    a when-chain; the oracle recomputes the identical thresholds with
+    quantile_cont on the same 6-dp-rounded score grid."""
+    from data_profiler_spark.operators.text import perplexity_buckets
+
+    d = _docs(spark, sf_dir)
+    b = perplexity_buckets(d, "text", ["doc_id"], n_buckets=3)
+    return b.groupBy("bucket_index").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.round(F.avg("mean_logprob"), 6).alias("avg_logprob"),
+    )
+
+
+_DSIR_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), m AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c_raw,
+         CAST(SUM(CASE WHEN tgt = 1 THEN 1 END) AS DOUBLE) AS c_tgt
+  FROM tok GROUP BY 1
+), t AS (SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM m)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(COALESCE(LN(c_tgt / t_tgt), -20.0) - LN(c_raw / t_raw)), 6)
+         AS mean_log_ratio
+FROM tok JOIN m USING (tok), t
+GROUP BY doc_id
+ORDER BY mean_log_ratio DESC, doc_id
+LIMIT 100
+"""
+
+
+@register_query("dsir_top_selection", _DSIR_ORACLE)
+def q_dsir_top_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/text.py dsir_logratio: DSIR-style importance weights
+    (target LM = lang='en' docs, raw LM = whole corpus; both fitted from
+    ONE tokenization pass) and the top-100 most-in-domain docs by
+    (rounded ratio, doc_id) — a deterministic stand-in for DSIR's
+    exp(ratio)-proportional resampling. Global orderBy+limit compiles to
+    TakeOrdered (map-side partial top-k), not a full sort."""
+    from data_profiler_spark.operators.text import dsir_logratio
+
+    d = _docs(spark, sf_dir)
+    out = dsir_logratio(d, "text", ["doc_id"], target_cond=F.col("lang") == "en")
+    return (
+        out.select(
+            "doc_id",
+            "n_tokens",
+            F.round("mean_log_ratio", 6).alias("mean_log_ratio"),
+        )
+        .orderBy(F.col("mean_log_ratio").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+_KMV_ORACLE = r"""
+WITH tok_a AS (
+  SELECT DISTINCT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     x -> x <> '')) AS tok
+  FROM documents WHERE doc_id % 2 = 0
+), tok_b AS (
+  SELECT DISTINCT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     x -> x <> '')) AS tok
+  FROM documents WHERE doc_id % 2 = 1
+), sk_a AS (
+  SELECT DISTINCT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM tok_a ORDER BY h LIMIT 256
+), sk_b AS (
+  SELECT DISTINCT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM tok_b ORDER BY h LIMIT 256
+), merged AS (
+  SELECT h FROM (SELECT h FROM sk_a UNION SELECT h FROM sk_b)
+  ORDER BY h LIMIT 256
+), parts AS (
+  SELECT (SELECT COUNT(*) FROM sk_a) AS n_a,
+         (SELECT MAX(h) FROM sk_a) AS hk_a,
+         (SELECT COUNT(*) FROM sk_b) AS n_b,
+         (SELECT MAX(h) FROM sk_b) AS hk_b,
+         (SELECT COUNT(*) FROM merged) AS n_u,
+         (SELECT MAX(h) FROM merged) AS hk_u,
+         (SELECT COUNT(*) FROM merged
+          WHERE h IN (SELECT h FROM sk_a) AND h IN (SELECT h FROM sk_b))
+           AS k_int
+)
+SELECT 256 AS k,
+       ROUND(CASE WHEN n_a < 256 THEN CAST(n_a AS DOUBLE)
+                  ELSE (CAST(n_a AS DOUBLE) - 1.0)
+                       / (CAST(hk_a AS DOUBLE) / 1152921504606846976.0) END, 6)
+         AS est_distinct_a,
+       ROUND(CASE WHEN n_b < 256 THEN CAST(n_b AS DOUBLE)
+                  ELSE (CAST(n_b AS DOUBLE) - 1.0)
+                       / (CAST(hk_b AS DOUBLE) / 1152921504606846976.0) END, 6)
+         AS est_distinct_b,
+       ROUND(CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+                  ELSE (CAST(n_u AS DOUBLE) - 1.0)
+                       / (CAST(hk_u AS DOUBLE) / 1152921504606846976.0) END, 6)
+         AS est_distinct_union,
+       CAST(k_int AS BIGINT) AS k_intersect,
+       ROUND(CAST(k_int AS DOUBLE) / CAST(n_u AS DOUBLE), 6) AS est_jaccard
+FROM parts
+"""
+
+
+@register_query("corpus_overlap_kmv", _KMV_ORACLE)
+def q_corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sketches.py kmv_overlap: bottom-k (KMV) sketch overlap of
+    the token vocabularies of two corpus snapshots (even vs odd doc_id) —
+    distinct-count and Jaccard estimates from k=256 hashes per side.
+    Each side reduces to a distinct-agg + TakeOrdered(k); the estimate
+    math runs over <= 2k rows. The oracle replays the identical order
+    statistics in SQL."""
+    from data_profiler_spark.operators.sketches import kmv_overlap
+    from data_profiler_spark.operators.text import tokens
+
+    d = _docs(spark, sf_dir)
+    vocab_a = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab_b = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    return kmv_overlap(vocab_a, vocab_b, "tok", k=256)

@@ -525,3 +525,96 @@ def test_unigram_logprob_self_and_reference_vocab(spark):
     exp2r = (math.log(1 / 3) + (-9.0)) / 2
     assert ref[1]["mean_logprob"] == pytest.approx(exp1r)
     assert ref[2]["mean_logprob"] == pytest.approx(exp2r)
+
+
+def test_perplexity_buckets(spark):
+    from data_profiler_spark.operators.text import perplexity_buckets
+
+    # 9 docs with strictly distinct fluency scores: more common-token
+    # mass -> higher mean logprob; distinct scores give a clean 3/3/3
+    # equal-population split.
+    common, rare = "the the the the", "zzzq xqzzy vvqx wwvk"
+    rows = [
+        (i, " ".join(rare.split()[: 4 - i] + common.split()[: i]))
+        for i in range(5)
+    ] + [
+        (5, "the the the quick"),
+        (6, "the the quick quick"),
+        (7, "the quick quick quick"),
+        (8, "quick quick quick quick"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in perplexity_buckets(df, "text", ["doc_id"], n_buckets=3).collect()
+    }
+    assert len(out) == 9
+    assert len({r["mean_logprob"] for r in out.values()}) == 9
+    # equal-population tiers over distinct scores: 3 docs per bucket,
+    # tiers ordered by score (bucket 0 = lowest logprob = tail)
+    ranked = sorted(out.values(), key=lambda r: r["mean_logprob"])
+    assert [r["bucket_index"] for r in ranked] == [0] * 3 + [1] * 3 + [2] * 3
+    # the all-rare doc is tail, the all-common doc is head
+    assert out[0]["bucket_index"] == 0 and out[4]["bucket_index"] == 2
+    with pytest.raises(ValueError):
+        perplexity_buckets(df, "text", ["doc_id"], n_buckets=1)
+
+
+def test_dsir_logratio(spark):
+    from data_profiler_spark.operators.text import dsir_logratio
+    import math
+
+    rows = [
+        (0, "aa aa bb", "en"),
+        (1, "aa bb cc", "en"),
+        (2, "cc cc dd", "de"),
+        (3, "dd dd dd", "de"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        r["doc_id"]: r
+        for r in dsir_logratio(
+            df, "text", ["doc_id"], target_cond=F.col("lang") == "en"
+        ).collect()
+    }
+    # hand oracle: raw counts aa=3 bb=2 cc=3 dd=4 (T=12);
+    # target (en) counts aa=3 bb=2 cc=1 (T=6); dd unseen -> floor -20
+    lr = {
+        "aa": math.log(3 / 6) - math.log(3 / 12),
+        "bb": math.log(2 / 6) - math.log(2 / 12),
+        "cc": math.log(1 / 6) - math.log(3 / 12),
+        "dd": -20.0 - math.log(4 / 12),
+    }
+    exp0 = (2 * lr["aa"] + lr["bb"]) / 3
+    exp3 = lr["dd"]
+    assert out[0]["mean_log_ratio"] == pytest.approx(exp0, abs=1e-9)
+    assert out[3]["mean_log_ratio"] == pytest.approx(exp3, abs=1e-9)
+    assert out[0]["n_tokens"] == 3
+    # in-domain docs rank above out-of-domain
+    assert out[0]["mean_log_ratio"] > out[2]["mean_log_ratio"] > out[3]["mean_log_ratio"]
+    with pytest.raises(ValueError):
+        dsir_logratio(df, "text", ["doc_id"])
+
+
+def test_kmv_overlap_exact_and_estimated(spark):
+    from data_profiler_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(40)], ["key"])
+    b = spark.createDataFrame([(f"k{i}",) for i in range(20, 60)], ["key"])
+    # k > both cardinalities -> sketches exhaustive -> everything exact
+    row = kmv_overlap(a, b, "key", k=256).first()
+    assert row["est_distinct_a"] == 40.0
+    assert row["est_distinct_b"] == 40.0
+    assert row["est_distinct_union"] == 60.0
+    assert row["k_intersect"] == 20
+    assert row["est_jaccard"] == pytest.approx(20 / 60, abs=1e-6)
+    # k below cardinality -> estimates within a loose KMV error band
+    big_a = spark.range(0, 2000).select(F.concat(F.lit("x"), "id").alias("key"))
+    big_b = spark.range(1000, 3000).select(F.concat(F.lit("x"), "id").alias("key"))
+    est = kmv_overlap(big_a, big_b, "key", k=128).first()
+    assert 1200 < est["est_distinct_a"] < 3200  # true 2000, ~±2/sqrt(k)
+    assert 1800 < est["est_distinct_union"] < 4800  # true 3000
+    assert 0.15 < est["est_jaccard"] < 0.55  # true 1/3
+    # sketch is the k smallest distinct hashes, sorted
+    hs = [r["h"] for r in kmv_sketch(big_a, "key", 16).collect()]
+    assert len(hs) == 16 == len(set(hs)) and hs == sorted(hs)
