@@ -627,3 +627,127 @@ def dsir_logratio(
         F.sum("__cnt").cast("long").alias("n_tokens"),
         (F.sum(cnt * (lp_tgt - lp_raw)) / F.sum(cnt)).alias("mean_log_ratio"),
     )
+
+
+def dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Cross-corpus duplicated-substring spans, keep-first semantics
+    (the removal step of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", on a token-window grid instead of a
+    suffix array: every duplicated span >= ``window`` tokens contains a
+    duplicated window, so the grid catches it; span edges snap to window
+    extents — the documented approximation, shared with
+    :func:`passage_dup_stats`).
+
+    Pipeline (all native Column ops):
+    1. explode (position, md5(window)) pairs — one corpus tokenization;
+    2. ONE shuffle on the window hash computes both the corpus-wide
+       occurrence count and the keep-first rank (count + row_number over
+       the same partition spec); an occurrence is removable iff the hash
+       occurs more than once AND it is not the (doc_id, position)-first;
+    3. per-doc gaps-and-islands (window over (doc, position) — bounded
+       by doc length, skew-free) merges overlapping removable windows
+       into maximal spans.
+
+    Shuffles ∝ number of windows; nothing all-pairs, nothing driver-side.
+    1-based token positions. Output: id_col + (span_start, span_end,
+    n_windows) — one row per maximal removable span."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_PATTERN)
+    base = df.select(F.col(id_col), toks.alias("__ts")).where(
+        F.size("__ts") >= window
+    )
+    wins = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__ts") - window + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("__ts", i, window))),
+            )
+        ).alias("__p0", "ph"),
+    ).select(id_col, (F.col("__p0") + 1).alias("pos"), "ph")
+    by_hash = Window.partitionBy("ph")
+    removable = (
+        wins.select(
+            id_col,
+            "pos",
+            F.count(F.lit(1)).over(by_hash).alias("__c"),
+            F.row_number()
+            .over(by_hash.orderBy(id_col, "pos"))
+            .alias("__rn"),
+        )
+        .where((F.col("__c") > 1) & (F.col("__rn") > 1))
+        .drop("__c", "__rn")
+    )
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + window - 1).over(
+        by_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = removable.select(
+        id_col,
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1)
+        .otherwise(0)
+        .alias("__new"),
+    ).select(
+        id_col, "pos", F.sum("__new").over(by_doc).alias("__island")
+    )
+    return islands.groupBy(id_col, "__island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + window - 1).cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("__island")
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Apply :func:`dup_spans`: per document, the whitespace-normalized
+    text with every removable span's tokens dropped, plus span/token
+    counts. Spans (small, ∝ duplicated content) aggregate to one
+    array-of-intervals row per affected doc and join back onto the token
+    arrays — the corpus is scanned twice (once to find spans, once to
+    rebuild text) but never shipped through a shuffle; the token filter
+    is a native higher-order function (O(tokens × spans) per doc).
+
+    Output: id_col + (n_spans, n_removed_tokens, clean_text). Docs with
+    nothing to remove pass through with n_spans = 0."""
+    spans = (
+        dup_spans(df, id_col, text_col, window)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.array_sort(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("__spans"),
+        )
+    )
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_PATTERN)
+    base = df.select(F.col(id_col), toks.alias("__ts"))
+    joined = base.join(spans, on=id_col, how="left")
+    in_span = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    )
+    kept = F.filter(
+        F.col("__ts"), lambda t, i0: ~in_span(i0 + 1)
+    )
+    return joined.select(
+        id_col,
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.when(F.col("__spans").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.size("__ts") - F.size(kept))
+        .cast("long")
+        .alias("n_removed_tokens"),
+        F.when(F.col("__spans").isNull(), F.concat_ws(" ", "__ts"))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias("clean_text"),
+    )

@@ -2931,3 +2931,73 @@ def q_corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens(F.col("text"))).alias("tok")
     )
     return kmv_overlap(vocab_a, vocab_b, "tok", k=256)
+
+
+_DUP_SPANS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents
+), wins AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS ph
+  FROM toks, UNNEST(range(1, len(ts) - 8 + 2)) AS t(i)
+  WHERE len(ts) >= 8
+), marked AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY ph) AS c,
+         ROW_NUMBER() OVER (PARTITION BY ph ORDER BY doc_id, pos) AS rn
+  FROM wins
+), removable AS (
+  SELECT doc_id, pos FROM marked WHERE c > 1 AND rn > 1
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS newi
+  FROM removable
+), grp AS (
+  SELECT doc_id, pos,
+         SUM(newi) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+  FROM grp GROUP BY doc_id, island
+), posd AS (
+  SELECT t.doc_id, u.i AS pos, ts[u.i] AS tok
+  FROM toks t, UNNEST(range(1, len(ts) + 1)) AS u(i)
+), kept AS (
+  SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM posd p
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = p.doc_id AND p.pos BETWEEN s.s AND s.e)
+  GROUP BY p.doc_id
+), nsp AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(COALESCE(nsp.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(len(t.ts) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed_tokens,
+       md5(COALESCE(k.clean_text, '')) AS clean_md5
+FROM toks t
+LEFT JOIN nsp USING (doc_id)
+LEFT JOIN kept k USING (doc_id)
+"""
+
+
+@register_query("dup_span_removal", _DUP_SPANS_ORACLE)
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/text.py dup_spans/remove_dup_spans: ExactSubstr-style
+    duplicated-span removal (Lee et al. 2022) on an 8-token window grid,
+    keep-first occurrence. One hash shuffle marks removable windows
+    (count + keep-first rank in the same window spec), per-doc
+    gaps-and-islands merges them into maximal spans, and the cleaned
+    text is rebuilt natively (no UDF). Clean text is md5'd so the oracle
+    compares every reconstruction byte-exactly."""
+    from data_profiler_spark.operators.text import remove_dup_spans
+
+    d = _docs(spark, sf_dir)
+    out = remove_dup_spans(d, "doc_id", "text", window=8)
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_removed_tokens",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )

@@ -618,3 +618,38 @@ def test_kmv_overlap_exact_and_estimated(spark):
     # sketch is the k smallest distinct hashes, sorted
     hs = [r["h"] for r in kmv_sketch(big_a, "key", 16).collect()]
     assert len(hs) == 16 == len(set(hs)) and hs == sorted(hs)
+
+
+def test_dup_spans_and_removal(spark):
+    from data_profiler_spark.operators.text import dup_spans, remove_dup_spans
+
+    # doc 0 and doc 1 share a 10-token run (one duplicated span each side,
+    # keep-first: doc 0 keeps, doc 1 loses); doc 2 is clean; doc 3 repeats
+    # its own 8-token prefix twice (intra-doc dup -> second occurrence goes)
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, shared + " unique tail zero"),
+        (1, "lead one " + shared),
+        (2, "totally different words with no duplicate runs here at all"),
+        (3, "p1 p2 p3 p4 p5 p6 p7 p8 mid p1 p2 p3 p4 p5 p6 p7 p8"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dup_spans(df, "doc_id", "text", window=8).collect()
+    }
+    # doc 1: shared run occupies tokens 3..12; duplicated windows at
+    # positions 3..5 (grid-aligned 8-token windows inside the run) merge
+    # to one span [3, 12]. doc 3: second prefix occurrence at 10..17.
+    assert spans == {(1, 3, 12), (3, 10, 17)}
+    out = {
+        r["doc_id"]: r
+        for r in remove_dup_spans(df, "doc_id", "text", window=8).collect()
+    }
+    assert out[0]["n_spans"] == 0 and out[0]["n_removed_tokens"] == 0
+    assert out[0]["clean_text"] == rows[0][1]
+    assert out[1]["n_spans"] == 1 and out[1]["n_removed_tokens"] == 10
+    assert out[1]["clean_text"] == "lead one"
+    assert out[2]["n_spans"] == 0
+    assert out[3]["n_spans"] == 1 and out[3]["n_removed_tokens"] == 8
+    assert out[3]["clean_text"] == "p1 p2 p3 p4 p5 p6 p7 p8 mid"
