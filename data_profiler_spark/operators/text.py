@@ -24,7 +24,7 @@ CJK_REGEX = r"[一-鿿]"
 
 
 def _stopword_array():
-    """The flattened multilingual stopword list as a Column literal —
+    r"""The flattened multilingual stopword list as a Column literal —
     shared by with_quality_features and gopher_like_filter so the two
     never drift apart. (Their punct_ratio definitions DO differ on
     purpose: with_quality_features uses unicode word classes [\w\s];
