@@ -491,6 +491,118 @@ def containment_pairs(
     )
 
 
+def ngram_overlap_fraction(
+    corpus: DataFrame,
+    probes: DataFrame,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    probe_text: str = "text",
+    shingle_n: int = 3,
+    broadcast_probes: bool | None = None,
+) -> DataFrame:
+    """Per-document contamination score (the GPT-3/PaLM-style dirty-doc
+    measure): for EVERY corpus document, the fraction of its distinct
+    n-gram shingles that appear anywhere in the probe set's union of
+    shingles — ``(doc_id, n_grams, hits, dirty_frac)``, one row per doc.
+
+    Complements :func:`containment_pairs`, which answers "which (doc,
+    probe) pairs overlap" for targeted removal; this answers "how dirty is
+    each document overall", the score a pipeline thresholds to drop or
+    down-weight documents before training (and the reference has no
+    cross-table text operators at all).
+
+    Scale plan: the probe UNION shingle set is even smaller than
+    containment's per-probe index (global distinct, no probe_id, no
+    p_sz), broadcast under the same auto-estimator; the corpus explodes
+    its distinct shingles ONCE and left-joins the set, then one map-side-
+    combinable groupBy(doc) — work is one corpus scan, shuffle bounded by
+    corpus shingle count, nothing all-pairs, nothing to the driver.
+    """
+    # two-projection shape: shingles_of_tokens must see a MATERIALIZED
+    # token array (HOF lambdas defeat CSE — see its docstring)
+    p_set = (
+        probes.select(tokens(F.col(probe_text)).alias("__toks"))
+        .select(
+            F.explode(shingles_of_tokens(F.col("__toks"), shingle_n)).alias("s")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    if broadcast_probes is None:
+        broadcast_probes = _probe_index_fits_broadcast(
+            probes, probe_text, shingle_n
+        )
+    if broadcast_probes:
+        p_set = F.broadcast(p_set)
+    c_sh = corpus.select(
+        F.col(corpus_id), tokens(F.col(corpus_text)).alias("__toks")
+    ).select(
+        F.col(corpus_id),
+        F.explode(shingles_of_tokens(F.col("__toks"), shingle_n)).alias("s"),
+    )
+    return (
+        c_sh.join(p_set, on="s", how="left")
+        .groupBy(corpus_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("hits"),
+        )
+        .withColumn(
+            "dirty_frac", F.round(F.col("hits") / F.col("n_grams"), 6)
+        )
+    )
+
+
+def lsh_candidate_probability(s: float, bands: int, rows: int) -> float:
+    """P(two docs with Jaccard similarity ``s`` become an LSH candidate
+    pair) under ``bands`` bands of ``rows`` rows: 1 - (1 - s^rows)^bands —
+    the S-curve every MinHash-LSH textbook derives (Leskovec/Rajaraman/
+    Ullman, "Mining of Massive Datasets" ch. 3)."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def lsh_plan(
+    threshold: float, max_hashes: int = 128
+) -> dict[str, float | int]:
+    """Choose (bands, rows) for :func:`minhash_band_buckets` from a target
+    Jaccard threshold: enumerate every bands*rows <= max_hashes and pick
+    the pair whose S-curve midpoint (1/bands)^(1/rows) lands closest to
+    ``threshold``, breaking ties toward more total hashes (a longer
+    signature = a sharper curve = fewer false positives AND negatives at
+    the same midpoint).
+
+    Driver-side arithmetic over at most max_hashes*log(max_hashes)
+    candidates — scale-free. Returns the chosen ``bands``/``rows``/
+    ``n_hashes``, the achieved ``midpoint``, and the candidate
+    probabilities 20 points below/above the threshold
+    (``p_at_minus20``/``p_at_plus20``) so a pipeline can assert its
+    false-positive/false-negative budget before paying for the shuffle.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if max_hashes < 1:
+        raise ValueError(f"max_hashes must be >= 1, got {max_hashes}")
+    best: tuple[float, int, int, int] | None = None
+    for rows in range(1, max_hashes + 1):
+        for bands in range(1, max_hashes // rows + 1):
+            mid = (1.0 / bands) ** (1.0 / rows)
+            key = (abs(mid - threshold), -bands * rows, bands, rows)
+            if best is None or key < best:
+                best = key
+    _, neg_h, bands, rows = best
+    mid = (1.0 / bands) ** (1.0 / rows)
+    lo = max(0.0, threshold - 0.2)
+    hi = min(1.0, threshold + 0.2)
+    return {
+        "bands": bands,
+        "rows": rows,
+        "n_hashes": -neg_h,
+        "midpoint": mid,
+        "p_at_minus20": lsh_candidate_probability(lo, bands, rows),
+        "p_at_plus20": lsh_candidate_probability(hi, bands, rows),
+    }
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",

@@ -1,0 +1,247 @@
+"""Corpus composition operators: per-source caps, temperature-based
+mixture sampling, and sequence packing.
+
+These are the "decide what the training mix looks like" stage of a
+web-scale pipeline — the step between filtering/dedup (operators/text.py,
+operators/dedup.py) and tokenizer-shard writing. The reference
+(open-metadata/data-profiler) has no corpus-composition operators at all;
+these extend the engine the way SURVEY.md §2's training-data section
+envisions, with the same determinism contract as the samplers in
+sources/splitters.py: every keep/assign decision is a pure function of an
+md5 of the row key, so results are reproducible run-to-run, independent of
+partitioning, and bit-identical on any engine with md5 (the DuckDB oracle
+replays them exactly).
+
+100-TB contracts (stated per operator below): nothing here collects an
+unbounded set to the driver — the only collects are per-GROUP aggregates
+(sources/languages/domains: thousands, not billions), and every shuffle is
+either bounded by ``cap``×salts per key or keyed on a user-sized stream
+count.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "md5_bucket",
+    "md5_rank_key",
+    "cap_per_group",
+    "temperature_fractions",
+    "temperature_sample",
+    "pack_sequences",
+]
+
+#: buckets used by the md5-Bernoulli keep decisions (matches
+#: sources/splitters.py sample_stratified_by_hash's default).
+DEFAULT_BUCKETS = 10_000
+
+
+def md5_bucket(key: Column, buckets: int = DEFAULT_BUCKETS) -> Column:
+    """Deterministic uniform bucket in [0, buckets) from the md5 of the
+    key — the portable replacement for ``rand()`` shared by every sampler
+    here. First 15 hex chars = 60 bits, far below 2^63, so the conv->long
+    never overflows; DuckDB replays it as
+    ``('0x' || substr(md5(k),1,15))::BIGINT % buckets``."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def md5_rank_key(key: Column) -> Column:
+    """Deterministic pseudo-random total order: md5 hex of the key. Used
+    as the ORDER BY of every "keep the first k" decision so the survivor
+    set is a uniform random sample that any engine reproduces. Ties are
+    impossible for distinct keys (md5 of distinct strings); callers still
+    append the raw key as a tie-break so the order is total even if keys
+    repeat."""
+    return F.md5(key.cast("string"))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    salt_partitions: int = 64,
+) -> DataFrame:
+    """Deterministic per-group cap (RefinedWeb-style "at most N documents
+    per domain"): keep, for every value of ``group_col``, the ``cap`` rows
+    with the smallest ``(md5(key), key)`` — a reproducible uniform sample
+    of each group, NOT head-of-file order (which would bias toward
+    whatever crawl segment sorted first).
+
+    Scale: a naive ``row_number() OVER (PARTITION BY domain)`` sends every
+    row of a hot domain to ONE reducer — at 100 TB a single domain can be
+    billions of rows and the job stalls on that task. This runs the
+    standard two-stage skew-proof top-k instead:
+
+    1. salt stage — window over ``(group, md5_bucket(key) % S)``: the hot
+       domain spreads across S reducers, each keeping its local smallest
+       ``cap``. Output is <= cap*S rows per group no matter how skewed the
+       input.
+    2. final stage — window over ``group`` alone on the survivors, a
+       dataframe bounded by cap*S per group (tiny), keeping the global
+       smallest ``cap``.
+
+    Equivalence to the one-stage window: the global top-cap of a group is
+    contained in the union of per-salt top-caps (any row in the global
+    top-cap is in the top-cap of its own salt slice), so stage 2 sees
+    every global survivor. With ``salt_partitions=1`` it degrades to the
+    textbook single window (useful in tests to assert equivalence).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if salt_partitions < 1:
+        raise ValueError(f"salt_partitions must be >= 1, got {salt_partitions}")
+    rk = md5_rank_key(F.col(key_col))
+    order = [rk.asc(), F.col(key_col).asc()]
+    if salt_partitions > 1:
+        salt = md5_bucket(F.col(key_col), salt_partitions)
+        w1 = Window.partitionBy(F.col(group_col), salt).orderBy(*order)
+        df = (
+            df.withColumn("__rn", F.row_number().over(w1))
+            .where(F.col("__rn") <= cap)
+            .drop("__rn")
+        )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def temperature_fractions(
+    counts: dict[Any, int], alpha: float, total_target: int
+) -> dict[Any, float]:
+    """Per-group keep fractions for temperature-based mixture sampling
+    (the mT5 / XLM-R rebalance: sample group g with probability
+    proportional to n_g**alpha, alpha in (0, 1] — alpha=1 is natural
+    proportions, alpha->0 is uniform across groups).
+
+    Pure driver-side arithmetic over the per-group COUNTS (a dict of at
+    most thousands of entries — languages, domains, source buckets; never
+    rows), so the heavy table is touched exactly once by the caller's
+    count and once by the sampling filter.
+
+    Determinism: groups are summed in sorted-key order, so the float
+    result is bit-identical run-to-run and replayable by an oracle that
+    folds the same sorted order (IEEE doubles have no associativity —
+    an unordered SUM() would not be). Fractions are truncated to an
+    integer threshold out of DEFAULT_BUCKETS by the sampler, capping at
+    1.0 for groups whose target exceeds their size (no upsampling —
+    duplication is a separate, explicit op).
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if total_target < 0:
+        raise ValueError(f"total_target must be >= 0, got {total_target}")
+    import math
+
+    items = sorted(counts.items(), key=lambda kv: str(kv[0]))
+    # alpha=0.5 -> sqrt, which IEEE-754 guarantees correctly rounded on
+    # every engine (libm pow(x, 0.5) is not) — keeps the fractions
+    # bit-replayable by an external oracle at the canonical temperature
+    pw = math.sqrt if alpha == 0.5 else (lambda x: x**alpha)
+    weights = [(k, pw(float(n))) for k, n in items if n > 0]
+    z = 0.0
+    for _, w in weights:  # sorted-order fold: deterministic fp sum
+        z += w
+    if z == 0.0:
+        return {k: 0.0 for k, _ in items}
+    out: dict[Any, float] = {}
+    for k, w in weights:
+        target = total_target * (w / z)
+        out[k] = min(1.0, target / float(counts[k]))
+    for k, n in items:
+        if n <= 0:
+            out[k] = 0.0
+    return out
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float,
+    total_target: int,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Temperature-based mixture sampling over a DataFrame: compute group
+    counts (one narrow agg on the group column), derive fractions with
+    :func:`temperature_fractions`, then keep rows by the md5-Bernoulli
+    ``md5_bucket(key) < floor(frac * buckets)``.
+
+    The threshold is floored to an INTEGER before the comparison so the
+    keep decision is integer-exact — no float comparison anywhere in the
+    distributed filter (an engine-replay oracle only has to reproduce the
+    double ``frac`` to ~1e-12, not to the last ulp of a ``<`` boundary).
+
+    Scale: one groupBy count (map-side partial, #groups rows collected),
+    then a pure projection+filter — no shuffle of the kept data, no
+    sampling state, full whole-stage codegen; the fraction lookup is a
+    literal CASE chain, never a join.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    fracs = temperature_fractions(counts, alpha, total_target)
+    thresholds = {k: int(f * buckets) for k, f in fracs.items()}
+    thr: Column = F.lit(0)
+    for value, t in sorted(thresholds.items(), key=lambda kv: str(kv[0])):
+        thr = F.when(F.col(group_col) == F.lit(value), F.lit(t)).otherwise(thr)
+    return df.where(md5_bucket(F.col(key_col), buckets) < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    token_count_col: str,
+    budget: int,
+    n_streams: int = 256,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training shards
+    (concat-then-split packing, the GPT-style pretraining layout): within
+    each of ``n_streams`` independent streams, documents are laid end to
+    end in a deterministic pseudo-random order and the running token tape
+    is cut every ``budget`` tokens; a document belongs to the shard where
+    it STARTS (documents straddling a cut stay with their start shard —
+    the downstream tokenizer duplicates the boundary tokens, not this op).
+
+    Adds three columns: ``stream`` (md5_bucket(key) % n_streams),
+    ``offset`` (the document's start position on its stream's token tape)
+    and ``shard`` (offset // budget). All integer arithmetic — exactly
+    portable.
+
+    Scale: ONE shuffle keyed on ``stream``; each stream is an independent
+    sequential scan (a window ordered within its partition), so
+    parallelism == n_streams — size it to the cluster (1000 executors ->
+    n_streams >= 4000 keeps every core busy; the default 256 suits a
+    single node). Hot-key skew cannot occur: md5_bucket is uniform by
+    construction, so streams differ in size only by sampling noise.
+    Per-stream state is one running sum — no driver collect, no global
+    sort (a single global ``Window.orderBy`` would serialize the corpus
+    through one reducer; this is why the tape is striped).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if n_streams < 1:
+        raise ValueError(f"n_streams must be >= 1, got {n_streams}")
+    stream = md5_bucket(F.col(key_col), n_streams).alias("stream")
+    df = df.withColumn("stream", stream)
+    w = Window.partitionBy("stream").orderBy(
+        md5_rank_key(F.col(key_col)).asc(), F.col(key_col).asc()
+    )
+    tok = F.col(token_count_col).cast("long")
+    running = F.sum(tok).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("offset", (running - tok).cast("long")).withColumn(
+        "shard", F.expr(f"offset DIV {int(budget)}")  # integer div: exact at any tape length
+    )

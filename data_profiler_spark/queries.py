@@ -3001,3 +3001,177 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed_tokens",
         F.md5(F.col("clean_text")).alias("clean_md5"),
     )
+
+
+# ===========================================================================
+# 19. Corpus composition (NEW r6): per-source caps, temperature mixing,
+#     contamination scoring, sequence packing (operators/mixing.py,
+#     operators/dedup.py ngram_overlap_fraction)
+# ===========================================================================
+
+
+@register_query(
+    "source_cap_counts",
+    """
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT source, COUNT(*) AS kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM ranked WHERE rn <= 10
+GROUP BY source
+""",
+)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/mixing.py cap_per_group: RefinedWeb-style "at most N docs
+    per domain", survivors = the N smallest (md5(id), id) per source — a
+    deterministic uniform sample, proven exactly by per-source kept count
+    + id-sum fingerprint. Runs the two-stage skew-proof shape (salted
+    local top-cap, then a final window over <= cap*salts survivors); the
+    oracle is the textbook single window, so a pass also re-proves the
+    two-stage == one-stage equivalence on real data."""
+    from data_profiler_spark.operators.mixing import cap_per_group
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    kept = cap_per_group(d, "source", "doc_id", cap=10, salt_partitions=8)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+@register_query(
+    "temperature_mixture_counts",
+    """
+WITH c AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), tot AS (
+  SELECT COUNT(*) // 2 AS t FROM documents
+), z AS (
+  SELECT SUM(sqrt(CAST(n AS DOUBLE))) AS z FROM c
+), thr AS (
+  SELECT lang,
+         CAST(FLOOR(LEAST(1.0,
+              ((SELECT t FROM tot)
+               * (sqrt(CAST(n AS DOUBLE)) / (SELECT z FROM z)))
+              / CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS th
+  FROM c
+)
+SELECT d.lang, COUNT(*) AS kept, CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+FROM documents d JOIN thr USING (lang)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      < thr.th
+GROUP BY d.lang
+""",
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/mixing.py temperature_sample: mT5/XLM-R temperature
+    rebalance at alpha=0.5 targeting half the corpus — keep fractions
+    proportional to sqrt(n_lang)/n_lang, keep decision an integer-exact
+    md5-Bernoulli. kept + id_sum per language prove the exact survivor
+    set; the oracle rederives the sqrt-weighted thresholds in SQL
+    (sqrt is IEEE-correctly-rounded on both engines, which is why the
+    canonical temperature is the gated one)."""
+    from data_profiler_spark.operators.mixing import temperature_sample
+
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    total = d.count()
+    kept = temperature_sample(
+        d, "lang", "doc_id", alpha=0.5, total_target=total // 2
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+@register_query(
+    "contamination_fraction",
+    r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ts) >= 3
+         THEN [array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)]
+         ELSE [array_to_string(ts, ' ')] END)) AS s
+  FROM toks
+), probe AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0
+)
+SELECT c.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN p.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       ROUND(CAST(SUM(CASE WHEN p.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dirty_frac
+FROM sh c LEFT JOIN probe p ON c.s = p.s
+GROUP BY c.doc_id
+""",
+)
+def q_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.py ngram_overlap_fraction: the GPT-3/PaLM per-doc
+    contamination score — for EVERY corpus document, the fraction of its
+    distinct trigram shingles found anywhere in the probe set's union
+    (probes = every 50th doc standing in for an eval benchmark).
+    Complements decontamination_hits (pairwise, thresholded) with the
+    per-doc dirtiness a pipeline uses to drop/down-weight documents. The
+    probe UNION set is broadcast; one corpus explode, one groupBy."""
+    from data_profiler_spark.operators.dedup import ngram_overlap_fraction
+
+    d = _docs(spark, sf_dir)
+    probes = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 50 == 0
+    ).select("text")
+    return ngram_overlap_fraction(
+        d, probes, corpus_id="doc_id", corpus_text="text",
+        probe_text="text", shingle_n=3,
+    )
+
+
+@register_query(
+    "packed_shard_stats",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+           AS stream,
+         md5(CAST(doc_id AS VARCHAR)) AS rk
+  FROM documents
+), packed AS (
+  SELECT doc_id, tok, stream,
+         SUM(tok) OVER (PARTITION BY stream ORDER BY rk, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok AS off
+  FROM t
+)
+SELECT stream, CAST(off // 2048 AS BIGINT) AS shard,
+       COUNT(*) AS docs,
+       CAST(SUM(tok) AS BIGINT) AS tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM packed GROUP BY stream, shard
+""",
+)
+def q_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/mixing.py pack_sequences: concat-then-split packing of
+    the corpus onto 8 independent token tapes cut every 2048 tokens
+    (GPT-style pretraining shards; a doc belongs to the shard where it
+    starts). Integer-exact throughout — stream/offset/shard replay
+    bit-identically in the oracle's window. Per-(stream, shard) doc and
+    token totals + id-sum prove the exact assignment."""
+    from data_profiler_spark.operators.mixing import pack_sequences
+    from data_profiler_spark.operators.text import token_count
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("tok")
+    )
+    out = pack_sequences(d, "doc_id", "tok", budget=2048, n_streams=8)
+    return out.groupBy("stream", "shard").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("tok").cast("long").alias("tokens"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

@@ -1,0 +1,219 @@
+"""operators/mixing.py + the dedup additions (ngram_overlap_fraction,
+lsh_plan): corpus-composition invariants the oracle queries can't express
+— two-stage/one-stage cap equivalence under forced skew, temperature
+fraction math, packing conservation laws, S-curve planner properties."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.mixing import (
+    cap_per_group,
+    pack_sequences,
+    temperature_fractions,
+    temperature_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """One hot group (900 rows) + two tiny ones — the shape that stalls a
+    naive per-group window on a single reducer."""
+    rows = [("hot", i) for i in range(900)]
+    rows += [("warm", 1000 + i) for i in range(30)]
+    rows += [("cold", 2000 + i) for i in range(3)]
+    return spark.createDataFrame(rows, "grp string, k long").cache()
+
+
+class TestCapPerGroup:
+    def test_two_stage_equals_one_stage(self, skewed):
+        """The salted pre-filter must not change the survivor set."""
+        a = cap_per_group(skewed, "grp", "k", cap=7, salt_partitions=16)
+        b = cap_per_group(skewed, "grp", "k", cap=7, salt_partitions=1)
+        sa = {(r.grp, r.k) for r in a.collect()}
+        sb = {(r.grp, r.k) for r in b.collect()}
+        assert sa == sb
+
+    def test_cap_and_small_group_passthrough(self, skewed):
+        out = cap_per_group(skewed, "grp", "k", cap=7).groupBy("grp").count()
+        got = {r.grp: r["count"] for r in out.collect()}
+        assert got == {"hot": 7, "warm": 7, "cold": 3}
+
+    def test_deterministic_across_runs(self, skewed):
+        s1 = {r.k for r in cap_per_group(skewed.repartition(7), "grp", "k", 5).collect()}
+        s2 = {r.k for r in cap_per_group(skewed.repartition(2), "grp", "k", 5).collect()}
+        assert s1 == s2
+
+    def test_rejects_bad_args(self, skewed):
+        with pytest.raises(ValueError, match="cap"):
+            cap_per_group(skewed, "grp", "k", cap=0)
+        with pytest.raises(ValueError, match="salt_partitions"):
+            cap_per_group(skewed, "grp", "k", cap=1, salt_partitions=0)
+
+
+class TestTemperatureFractions:
+    def test_alpha_one_is_proportional(self):
+        f = temperature_fractions({"a": 100, "b": 300}, alpha=1.0, total_target=200)
+        # natural proportions: every group sampled at target/total
+        assert f["a"] == pytest.approx(0.5)
+        assert f["b"] == pytest.approx(0.5)
+
+    def test_low_alpha_flattens(self):
+        f = temperature_fractions({"a": 10, "b": 1000}, alpha=0.5, total_target=500)
+        # sqrt weighting: the small group keeps a much larger fraction
+        assert f["a"] > f["b"]
+        assert f["a"] <= 1.0  # capped, never upsampled
+
+    def test_cap_at_one_and_zero_groups(self):
+        f = temperature_fractions({"a": 5, "b": 0}, alpha=0.5, total_target=100)
+        assert f["a"] == 1.0
+        assert f["b"] == 0.0
+
+    def test_sqrt_matches_pow_semantics(self):
+        # the IEEE special case must equal pow up to correct rounding
+        f = temperature_fractions({"a": 7, "b": 13}, alpha=0.5, total_target=10)
+        w = {k: math.sqrt(n) for k, n in {"a": 7, "b": 13}.items()}
+        z = w["a"] + w["b"]
+        assert f["a"] == pytest.approx(min(1.0, 10 * (w["a"] / z) / 7), abs=0)
+
+    def test_rejects_bad_alpha(self):
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_fractions({"a": 1}, alpha=0.0, total_target=1)
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_fractions({"a": 1}, alpha=1.5, total_target=1)
+
+
+class TestTemperatureSample:
+    def test_kept_counts_track_fractions(self, spark):
+        rows = [("en", i) for i in range(800)] + [("de", 10_000 + i) for i in range(200)]
+        df = spark.createDataFrame(rows, "lang string, k long")
+        kept = temperature_sample(df, "lang", "k", alpha=0.5, total_target=500)
+        got = {r.lang: r["count"] for r in kept.groupBy("lang").count().collect()}
+        fr = temperature_fractions({"en": 800, "de": 200}, 0.5, 500)
+        # md5 buckets are uniform: kept/n within a few % of the fraction
+        assert got["en"] / 800 == pytest.approx(fr["en"], abs=0.05)
+        assert got["de"] / 200 == pytest.approx(fr["de"], abs=0.07)
+
+    def test_no_shuffle_in_filter_plan(self, spark):
+        df = spark.createDataFrame([("en", 1), ("de", 2)], "lang string, k long")
+        kept = temperature_sample(df, "lang", "k", alpha=0.5, total_target=1)
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure projection+filter
+
+
+class TestPackSequences:
+    @pytest.fixture(scope="class")
+    def packed(self, spark):
+        rows = [(i, 10 + (i * 7) % 90) for i in range(400)]
+        df = spark.createDataFrame(rows, "k long, tok long")
+        return (
+            pack_sequences(df, "k", "tok", budget=256, n_streams=4)
+            .cache(),
+            {k: t for k, t in rows},
+        )
+
+    def test_every_doc_assigned_once(self, packed):
+        out, src = packed
+        assert out.count() == len(src)
+        assert out.select("k").distinct().count() == len(src)
+
+    def test_offsets_are_contiguous_tape(self, packed):
+        """Within each stream, sorted offsets must tile [0, total) with no
+        gaps or overlaps — the conservation law of concat-then-split."""
+        out, src = packed
+        for s in range(4):
+            rows = sorted(
+                ((r.offset, r.tok) for r in out.where(F.col("stream") == s).collect())
+            )
+            pos = 0
+            for off, tok in rows:
+                assert off == pos
+                pos += tok
+
+    def test_shard_is_start_position_div_budget(self, packed):
+        out, _ = packed
+        bad = out.where(F.col("shard") != F.floor(F.col("offset") / 256)).count()
+        assert bad == 0
+
+    def test_deterministic_under_repartition(self, spark, packed):
+        out, src = packed
+        df2 = spark.createDataFrame(sorted(src.items(), reverse=True), "k long, tok long")
+        out2 = pack_sequences(df2.repartition(13), "k", "tok", budget=256, n_streams=4)
+        a = {(r.k, r.stream, r.offset, r.shard) for r in out.collect()}
+        b = {(r.k, r.stream, r.offset, r.shard) for r in out2.collect()}
+        assert a == b
+
+    def test_rejects_bad_args(self, spark):
+        df = spark.createDataFrame([(1, 2)], "k long, tok long")
+        with pytest.raises(ValueError, match="budget"):
+            pack_sequences(df, "k", "tok", budget=0)
+        with pytest.raises(ValueError, match="n_streams"):
+            pack_sequences(df, "k", "tok", budget=1, n_streams=0)
+
+
+class TestLshPlan:
+    def test_midpoint_near_threshold(self):
+        from data_profiler_spark.operators.dedup import lsh_plan
+
+        for t in (0.3, 0.5, 0.7, 0.85):
+            p = lsh_plan(t, max_hashes=128)
+            assert abs(p["midpoint"] - t) < 0.05
+            assert p["bands"] * p["rows"] <= 128
+            assert p["n_hashes"] == p["bands"] * p["rows"]
+
+    def test_s_curve_monotone(self):
+        from data_profiler_spark.operators.dedup import (
+            lsh_candidate_probability,
+            lsh_plan,
+        )
+
+        p = lsh_plan(0.6, max_hashes=64)
+        probs = [
+            lsh_candidate_probability(s / 10, p["bands"], p["rows"])
+            for s in range(11)
+        ]
+        assert probs == sorted(probs)
+        assert p["p_at_plus20"] > p["p_at_minus20"]
+
+    def test_rejects_bad_args(self):
+        from data_profiler_spark.operators.dedup import lsh_plan
+
+        with pytest.raises(ValueError, match="threshold"):
+            lsh_plan(1.0)
+        with pytest.raises(ValueError, match="max_hashes"):
+            lsh_plan(0.5, max_hashes=0)
+
+
+class TestNgramOverlapFraction:
+    def test_known_overlap(self, spark):
+        from data_profiler_spark.operators.dedup import ngram_overlap_fraction
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "a b c d e"),          # trigrams: abc bcd cde
+                (2, "x y z w"),            # xyz yzw — disjoint from probe
+                (3, "a b c x y z"),        # abc bcx cxy xyz
+            ],
+            "doc_id long, text string",
+        )
+        probes = spark.createDataFrame(
+            [("a b c d q",), ("x y z t",)], "text string"
+        )  # probe set: {abc bcd cdq, xyz yzt}
+        got = {
+            r.doc_id: (r.n_grams, r.hits)
+            for r in ngram_overlap_fraction(corpus, probes).collect()
+        }
+        assert got[1] == (3, 2)   # abc, bcd hit; cde misses
+        assert got[2] == (2, 1)   # xyz hits
+        assert got[3] == (4, 2)   # abc + xyz
+
+    def test_clean_corpus_all_zero(self, spark):
+        from data_profiler_spark.operators.dedup import ngram_overlap_fraction
+
+        corpus = spark.createDataFrame([(1, "p q r s")], "doc_id long, text string")
+        probes = spark.createDataFrame([("m n o",)], "text string")
+        row = ngram_overlap_fraction(corpus, probes).first()
+        assert row.hits == 0 and row.dirty_frac == 0.0
