@@ -74,6 +74,14 @@ HEADLINE = [
     "profile_drift_verdicts",
     "doc_chunks",
     "unigram_doc_quality",
+    "perplexity_bucket_stats",
+    "dsir_top_selection",
+    "corpus_overlap_kmv",
+    "dup_span_removal",
+    "source_cap_counts",
+    "temperature_mixture_counts",
+    "contamination_fraction",
+    "packed_shard_stats",
 ]
 
 

@@ -93,6 +93,13 @@ def cap_per_group(
     top-cap is in the top-cap of its own salt slice), so stage 2 sees
     every global survivor. With ``salt_partitions=1`` it degrades to the
     textbook single window (useful in tests to assert equivalence).
+
+    Plan note: Spark >= 3.5 already inserts ``WindowGroupLimit`` (a
+    map-side partial top-cap per input split) under rank-limit filters,
+    so even the naive window's SHUFFLE is bounded by cap x input splits
+    per group. The salt stage is still load-bearing at 100 TB: it bounds
+    the hot group's REDUCER input to cap x S rows instead of cap x
+    (millions of scan splits) on a single task.
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
