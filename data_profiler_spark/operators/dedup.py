@@ -553,6 +553,65 @@ def ngram_overlap_fraction(
     )
 
 
+def cluster_survivors(
+    scored: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    node_col: str = "node",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Quality-aware survivor selection — the step after clustering in a
+    dedup pipeline (pairs -> connected_components -> ONE doc per cluster):
+    for every cluster keep the member with the highest ``score_col``
+    (ties broken by MIN id, so the choice is total and deterministic),
+    instead of :func:`dedup_exact`'s blind min-id rule. Docs absent from
+    ``clusters`` are singleton survivors of their own component (= their
+    id, which is why ids must be integral — same contract as
+    :func:`connected_components`).
+
+    Returns ``(component, n_docs, keep_id, keep_score)`` — one row per
+    cluster including singletons; semi-join ``keep_id`` back against the
+    corpus for the cleaned dataset.
+
+    Scale: one left join (clusters ≪ corpus when thresholds are
+    meaningful — broadcast-eligible, Catalyst/AQE decides) and one
+    map-side-combinable groupBy(component) carrying a single
+    struct-argmax. Shuffle ∝ number of docs, state ∝ number of clusters;
+    no window, no driver collect.
+    """
+    from pyspark.sql import types as T
+
+    dt = scored.schema[id_col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise ValueError(
+            f"cluster_survivors needs integral ids; column {id_col!r} is "
+            f"{dt.simpleString()} — map ids to longs first"
+        )
+    cl = clusters.select(
+        F.col(node_col).alias("__node"), F.col(comp_col).alias("__comp")
+    )
+    joined = scored.join(cl, scored[id_col] == cl["__node"], "left")
+    comp = F.coalesce(F.col("__comp"), F.col(id_col).cast("long"))
+    # argmax by (score, -id): max score wins, lowest id breaks ties
+    best = F.struct(
+        F.col(score_col).alias("s"), (-F.col(id_col).cast("long")).alias("ni")
+    )
+    return (
+        joined.groupBy(comp.alias("component"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(best).alias("__b"),
+        )
+        .select(
+            "component",
+            "n_docs",
+            (-F.col("__b.ni")).alias("keep_id"),
+            F.col("__b.s").alias("keep_score"),
+        )
+    )
+
+
 def lsh_candidate_probability(s: float, bands: int, rows: int) -> float:
     """P(two docs with Jaccard similarity ``s`` become an LSH candidate
     pair) under ``bands`` bands of ``rows`` rows: 1 - (1 - s^rows)^bands —

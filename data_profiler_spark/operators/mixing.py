@@ -178,11 +178,19 @@ def temperature_sample(
     alpha: float,
     total_target: int,
     buckets: int = DEFAULT_BUCKETS,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Temperature-based mixture sampling over a DataFrame: compute group
     counts (one narrow agg on the group column), derive fractions with
     :func:`temperature_fractions`, then keep rows by the md5-Bernoulli
     ``md5_bucket(key) < floor(frac * buckets)``.
+
+    With ``weight_col`` (e.g. a token count) the mixture is weighed in
+    that unit instead of documents: group masses are ``sum(weight)``,
+    ``total_target`` is a weight total (a token budget), and each group's
+    keep fraction targets that expected weight mass — the form an LLM
+    data recipe actually specifies ("X% of training TOKENS from
+    Wikipedia"), since document counts misprice long-document sources.
 
     The threshold is floored to an INTEGER before the comparison so the
     keep decision is integer-exact — no float comparison anywhere in the
@@ -194,9 +202,14 @@ def temperature_sample(
     sampling state, full whole-stage codegen; the fraction lookup is a
     literal CASE chain, never a join.
     """
+    mass = (
+        F.sum(F.col(weight_col).cast("double"))
+        if weight_col is not None
+        else F.count(F.lit(1)).cast("double")
+    )
     counts = {
         r[0]: r[1]
-        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in df.groupBy(group_col).agg(mass.alias("n")).collect()
     }
     fracs = temperature_fractions(counts, alpha, total_target)
     thresholds = {k: int(f * buckets) for k, f in fracs.items()}

@@ -3175,3 +3175,49 @@ def q_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tok").cast("long").alias("tokens"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+@register_query(
+    "dedup_survivors",
+    r"""
+WITH g AS (
+  SELECT doc_id, md5(text) AS h,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS score
+  FROM documents
+), comp AS (
+  SELECT h, MIN(doc_id) AS component FROM g GROUP BY h
+), j AS (
+  SELECT g.doc_id, g.score, comp.component FROM g JOIN comp USING (h)
+), r AS (
+  SELECT component, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY score DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY component) AS n_docs
+  FROM j
+)
+SELECT component, n_docs, doc_id AS keep_id, CAST(score AS BIGINT) AS keep_score
+FROM r WHERE rn = 1
+""",
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.py cluster_survivors: quality-aware survivor
+    selection — per cluster keep the HIGHEST-scoring member (token count
+    here; ties to min id) instead of dedup_exact's blind min-id. Clusters
+    = exact content groups (md5), the deterministic cluster input that
+    DuckDB can rebuild; near-dup cluster inputs (connected_components
+    output) flow through the identical code path. One broadcast-eligible
+    join + one struct-argmax groupBy; no window on the Spark side."""
+    from data_profiler_spark.operators.dedup import cluster_survivors
+    from data_profiler_spark.operators.text import token_count
+
+    d = _docs(spark, sf_dir)
+    g = d.select("doc_id", F.md5("text").alias("h"),
+                 token_count(F.col("text")).alias("score"))
+    comp = g.groupBy("h").agg(F.min("doc_id").alias("component"))
+    clusters = g.join(comp, "h").select(
+        F.col("doc_id").alias("node"), "component"
+    )
+    scored = g.select("doc_id", "score")
+    out = cluster_survivors(scored, clusters, "doc_id", "score")
+    return out.withColumn("keep_score", F.col("keep_score").cast("long"))

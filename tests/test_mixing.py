@@ -217,3 +217,54 @@ class TestNgramOverlapFraction:
         probes = spark.createDataFrame([("m n o",)], "text string")
         row = ngram_overlap_fraction(corpus, probes).first()
         assert row.hits == 0 and row.dirty_frac == 0.0
+
+
+class TestWeightedTemperature:
+    def test_token_weighted_masses(self, spark):
+        # en: few huge docs; de: many small docs — doc-count mixing would
+        # overweight en tokens, token-weighted mixing must not
+        rows = [("en", i, 1000) for i in range(20)]
+        rows += [("de", 100 + i, 10) for i in range(200)]
+        df = spark.createDataFrame(rows, "lang string, k long, tok long")
+        kept = temperature_sample(
+            df, "lang", "k", alpha=0.5, total_target=11_000, weight_col="tok"
+        )
+        got = {
+            r.lang: r.t
+            for r in kept.groupBy("lang").agg(F.sum("tok").alias("t")).collect()
+        }
+        fr = temperature_fractions({"en": 20_000.0, "de": 2_000.0}, 0.5, 11_000)
+        # kept token mass per group ~= fraction * group mass
+        assert got["en"] == pytest.approx(fr["en"] * 20_000, rel=0.25)
+        assert got["de"] == pytest.approx(fr["de"] * 2_000, rel=0.25)
+
+    def test_float_masses_accepted(self):
+        f = temperature_fractions({"a": 100.0, "b": 25.0}, 0.5, 60)
+        z = math.sqrt(100.0) + math.sqrt(25.0)
+        assert f["a"] == pytest.approx(min(1.0, 60 * (10.0 / z) / 100.0), abs=0)
+
+
+class TestClusterSurvivors:
+    def test_argmax_with_tiebreak_and_singletons(self, spark):
+        from data_profiler_spark.operators.dedup import cluster_survivors
+
+        scored = spark.createDataFrame(
+            [(1, 5), (2, 9), (3, 9), (7, 4)], "doc_id long, score long"
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1)], "node long, component long"
+        )  # doc 7 absent -> singleton
+        got = {
+            r.component: (r.n_docs, r.keep_id, r.keep_score)
+            for r in cluster_survivors(scored, clusters).collect()
+        }
+        assert got[1] == (3, 2, 9)   # max score 9, tie 2 vs 3 -> min id
+        assert got[7] == (1, 7, 4)   # singleton survives itself
+
+    def test_rejects_string_ids(self, spark):
+        from data_profiler_spark.operators.dedup import cluster_survivors
+
+        scored = spark.createDataFrame([("a", 1)], "doc_id string, score long")
+        clusters = spark.createDataFrame([("a", 1)], "node string, component long")
+        with pytest.raises(ValueError, match="integral"):
+            cluster_survivors(scored, clusters)
