@@ -3221,3 +3221,55 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = g.select("doc_id", "score")
     out = cluster_survivors(scored, clusters, "doc_id", "score")
     return out.withColumn("keep_score", F.col("keep_score").cast("long"))
+
+
+_CODE_BLOB_ORACLE = f"""
+WITH f AS (
+  SELECT lang, content, sha256(content) AS digest
+  FROM read_parquet('{_NORTH_FIXTURE}/*.parquet')
+)
+SELECT lang,
+       COUNT(*) AS n_files,
+       CAST(SUM(CASE WHEN content IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_files,
+       COUNT(DISTINCT digest) AS n_blobs,
+       CAST(COUNT(digest) - COUNT(DISTINCT digest) AS BIGINT) AS dup_files,
+       ROUND(CAST(COUNT(digest) - COUNT(DISTINCT digest) AS DOUBLE)
+             / COUNT(digest), 6) AS dup_ratio,
+       MIN(digest) AS min_digest
+FROM f GROUP BY lang
+"""
+
+
+@register_query("code_blob_dedup_stats", _CODE_BLOB_ORACLE)
+def q_code_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Git-style blob dedup stats on the north-rule code table: per lang,
+    files vs distinct sha256(content) blobs — the injected verbatim
+    duplicates (sources/code_table.py DUP_FRACTION) surface as dup_files.
+    This is BASELINE.json input_hint's per-row invariant (content sha256
+    equality) exercised as a first-class query: min_digest pins at least
+    one full digest per lang byte-for-byte against the oracle's sha256.
+    Scale: one scan, map-side-combinable agg; distinct-count of digests
+    shuffles (digest, lang) pairs only — at 100 TB swap in
+    approx_count_distinct like the fused profile does."""
+    f = _north_files(spark).select(
+        "lang", "content", F.sha2(F.col("content"), 256).alias("digest")
+    )
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(F.col("content").isNull(), 1).otherwise(0)).alias(
+            "null_files"
+        ),
+        F.count_distinct(F.col("digest")).alias("n_blobs"),
+        (F.count("digest") - F.count_distinct(F.col("digest")))
+        .cast("long")
+        .alias("dup_files"),
+        F.round(
+            (F.count("digest") - F.count_distinct(F.col("digest"))).cast(
+                "double"
+            )
+            / F.count("digest"),
+            6,
+        ).alias("dup_ratio"),
+        F.min("digest").alias("min_digest"),
+    )
