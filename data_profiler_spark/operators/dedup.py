@@ -118,9 +118,19 @@ def minhash_band_buckets(
     n_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    threshold: float | None = None,
 ) -> DataFrame:
     """(id, band, bucket): LSH bucket per band = md5 of the band's signature
-    slice. Docs sharing a bucket in ANY band are near-dup candidates."""
+    slice. Docs sharing a bucket in ANY band are near-dup candidates.
+
+    ``threshold`` (optional): instead of hand-picking (n_hashes,
+    band_size), give the target Jaccard similarity and :func:`lsh_plan`
+    chooses the (bands, rows) whose S-curve midpoint lands on it, using
+    ``n_hashes`` as the signature-length budget."""
+    if threshold is not None:
+        plan = lsh_plan(threshold, max_hashes=n_hashes)
+        band_size = plan["rows"]
+        n_hashes = plan["bands"] * plan["rows"]
     n_bands = n_hashes // band_size
     # tokenize-once ladder: tokens -> shingles -> signature, each stage a
     # named projection so no stage re-evaluates inside the next stage's

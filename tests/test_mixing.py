@@ -268,3 +268,16 @@ class TestClusterSurvivors:
         clusters = spark.createDataFrame([("a", 1)], "node string, component long")
         with pytest.raises(ValueError, match="integral"):
             cluster_survivors(scored, clusters)
+
+
+class TestThresholdDrivenLsh:
+    def test_band_buckets_from_threshold(self, spark):
+        from data_profiler_spark.operators.dedup import lsh_plan, minhash_band_buckets
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        plan = lsh_plan(0.7, max_hashes=16)
+        out = minhash_band_buckets(df, "doc_id", "text", n_hashes=16, threshold=0.7)
+        assert out.count() == plan["bands"]  # one bucket row per band
