@@ -544,3 +544,58 @@ def streaming_near_dup_candidates(
     return exploded.groupBy("band", "bucket").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+def streaming_cap_per_source(
+    stream: DataFrame,
+    source_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Online per-source document budget: pass through at most ``cap``
+    rows per ``source_col`` value over the LIFE of the stream — the
+    streaming face of the batch :func:`operators.mixing.cap_per_group`
+    (a crawl pipeline caps each domain as pages arrive; it cannot wait
+    for the corpus to land and re-rank).
+
+    Semantics differ from batch BY DESIGN and the split is documented
+    here: the batch op keeps a deterministic uniform sample (smallest
+    md5(key)) because it sees the whole group; a stream must decide at
+    arrival, so this keeps the FIRST ``cap`` arrivals (within one
+    micro-batch, ties ordered by ``id_col`` so replays are
+    deterministic). A re-run over the same micro-batch boundaries emits
+    identical survivors; arrival-order dependence across batches is
+    inherent to any online cap.
+
+    State per source = ONE long (rows taken so far) with no timeout: a
+    budget must remember exhausted sources forever or the cap re-opens.
+    State size is O(#distinct sources) — domains/registries, not
+    documents; a 100M-domain crawl is ~800 MB of state across the
+    cluster, and the RocksDB state store keeps it off-heap.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in stream.schema.fields
+    )
+    cols = [f.name for f in stream.schema.fields]
+    state_schema = "taken long"
+
+    def fn(key, batches, state: GroupState):
+        taken = state.get[0] if state.exists else 0
+        if taken >= cap:
+            state.update((int(taken),))
+            yield pd.DataFrame(columns=cols)
+            return
+        pdf = pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values(id_col, kind="mergesort")  # stable within batch
+        take = pdf.head(max(0, cap - taken))
+        state.update((int(taken + len(take)),))
+        yield take[cols]
+
+    return stream.groupBy(source_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

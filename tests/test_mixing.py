@@ -281,3 +281,38 @@ class TestThresholdDrivenLsh:
         plan = lsh_plan(0.7, max_hashes=16)
         out = minhash_band_buckets(df, "doc_id", "text", n_hashes=16, threshold=0.7)
         assert out.count() == plan["bands"]  # one bucket row per band
+
+
+def test_streaming_cap_per_source(spark, tmp_path):
+    """First cap arrivals per source pass; later batches can't reopen an
+    exhausted budget; an under-budget source keeps admitting."""
+    from data_profiler_spark.streaming.profile_stream import (
+        streaming_cap_per_source,
+    )
+
+    src = str(tmp_path / "cap_src")
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id long, source string").write.mode(
+            "append"
+        ).parquet(src)
+
+    write([(1, "a"), (2, "a"), (3, "a"), (10, "b")])
+    stream = spark.readStream.schema("doc_id long, source string").parquet(src)
+    out = streaming_cap_per_source(stream, "source", "doc_id", cap=2)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_cap_out")
+        .option("checkpointLocation", str(tmp_path / "cap_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write([(4, "a"), (11, "b"), (20, "c")])  # a exhausted, b has 1 left
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM stream_cap_out").collect()
+    finally:
+        q.stop()
+    got = {(r.source, r.doc_id) for r in rows}
+    assert got == {("a", 1), ("a", 2), ("b", 10), ("b", 11), ("c", 20)}
