@@ -113,3 +113,88 @@ def kmv_overlap(
         F.col("k_intersect").cast("long").alias("k_intersect"),
         jac.alias("est_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005)
+# ---------------------------------------------------------------------------
+
+
+def cms_bucket(col: Column, row: int, width: int) -> Column:
+    """Row-``row``'s bucket for a key: md5-prefix of ``row || key`` mod
+    width — d independent hash rows come from salting the same
+    engine-portable md5 scheme as :func:`kmv_hash`."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{row}:"), col.cast("string"))),
+                1,
+                _HEX_DIGITS,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str | Column, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Build a Count-Min sketch of a key column: ``(row, bucket, cnt)``,
+    depth x width cells. Fixed-size regardless of key cardinality — the
+    scale story vs an exact ``groupBy(key)``: counting heavy hitters over
+    10^12 URLs/tokens shuffles (depth x width) cells instead of one row
+    per distinct key, and two sketches (days, partitions, corpora) merge
+    by cell-wise ADDITION — the distributive-agg contract the engine's
+    checkpoint/baseline stores rely on.
+
+    Plan: one projection exploding each input row to ``depth`` (row,
+    bucket) pairs, then a map-side-combinable groupBy over at most
+    depth x width groups. No state beyond the cells, no driver collect.
+    """
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), cms_bucket(key, r, width).alias("bucket")
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, key_col: str, depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate probe keys against a CMS: for each probe key, the
+    MIN over the d rows of its bucket's count — an upper bound on the true
+    frequency (error <= e/width x total count with prob 1 - e^-depth).
+
+    Plan: probes explode to d (row, bucket) lookups and join the sketch
+    (depth x width cells — broadcast-sized by construction); one
+    groupBy(probe) MIN. Missing cells count 0 (key never hashed there).
+    """
+    key = F.col(key_col)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), cms_bucket(key, r, width).alias("bucket")
+            )
+            for r in range(depth)
+        ]
+    )
+    lookups = probes.select(key.alias("probe"), F.explode(rows).alias("rb")).select(
+        "probe", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+    return (
+        lookups.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("probe")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

@@ -3273,3 +3273,63 @@ def q_code_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_ratio"),
         F.min("digest").alias("min_digest"),
     )
+
+
+_CMS_ORACLE = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+), rows_d AS (
+  SELECT * FROM (VALUES (0), (1), (2), (3)) r(r)
+), cells AS (
+  SELECT r.r AS row,
+         ('0x' || substr(md5('cms' || r.r || ':' || t), 1, 15))::BIGINT % 1024
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM tok, rows_d r
+  GROUP BY 1, 2
+), exact AS (
+  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+), probes AS (
+  SELECT t, c FROM exact ORDER BY c DESC, t LIMIT 5
+)
+SELECT p.t AS probe,
+       CAST(MIN(COALESCE(cells.cnt, 0)) AS BIGINT) AS est_count,
+       CAST(MIN(p.c) AS BIGINT) AS exact_count
+FROM probes p
+CROSS JOIN rows_d r
+LEFT JOIN cells
+  ON cells.row = r.r
+ AND cells.bucket =
+     ('0x' || substr(md5('cms' || r.r || ':' || p.t), 1, 15))::BIGINT % 1024
+GROUP BY p.t
+"""
+
+
+@register_query("cms_heavy_hitter_counts", _CMS_ORACLE)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sketches.py cms_sketch/cms_estimate: Count-Min sketch of
+    the corpus token stream (4 x 1024 cells — FIXED size vs the unbounded
+    state of an exact groupBy over 10^12 tokens), probed at the top-5
+    exact heavy hitters; est >= exact by construction and the oracle
+    replays every salted md5 bucket bit-exactly. The sketch groupBy is
+    map-side-combinable into <= 4096 cells; the probe join broadcasts the
+    sketch."""
+    from data_profiler_spark.operators.sketches import cms_estimate, cms_sketch
+    from data_profiler_spark.operators.text import tokens
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("t"))
+    sk = cms_sketch(tok, "t", depth=4, width=1024)
+    exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    probes = exact.orderBy(F.col("c").desc(), F.col("t").asc()).limit(5)
+    est = cms_estimate(sk, probes.select("t"), "t", depth=4, width=1024)
+    return (
+        est.join(probes, est["probe"] == probes["t"])
+        .select(
+            "probe",
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("c").cast("long").alias("exact_count"),
+        )
+    )

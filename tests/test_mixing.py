@@ -316,3 +316,43 @@ def test_streaming_cap_per_source(spark, tmp_path):
         q.stop()
     got = {(r.source, r.doc_id) for r in rows}
     assert got == {("a", 1), ("a", 2), ("b", 10), ("b", 11), ("c", 20)}
+
+
+class TestCountMinSketch:
+    def test_estimates_upper_bound_and_merge(self, spark):
+        from data_profiler_spark.operators.sketches import cms_estimate, cms_sketch
+
+        rows = [("hot",)] * 50 + [("warm",)] * 10 + [(f"tail{i}",) for i in range(60)]
+        df = spark.createDataFrame(rows, "k string")
+        sk = cms_sketch(df, "k", depth=4, width=64)
+        probes = spark.createDataFrame(
+            [("hot",), ("warm",), ("tail0",), ("absent",)], "k string"
+        )
+        got = {
+            r.probe: r.est_count
+            for r in cms_estimate(sk, probes, "k", depth=4, width=64).collect()
+        }
+        assert got["hot"] >= 50 and got["warm"] >= 10 and got["tail0"] >= 1
+        # CMS never underestimates; 'absent' may collide but stays small
+        assert got["absent"] <= 60
+
+        # mergeability: sketch(A) + sketch(B) == sketch(A union B), cell-wise
+        a, b = df.randomSplit([0.5, 0.5], seed=7)
+        from pyspark.sql import functions as SF
+
+        merged = (
+            cms_sketch(a, "k", depth=4, width=64)
+            .unionAll(cms_sketch(b, "k", depth=4, width=64))
+            .groupBy("row", "bucket")
+            .agg(SF.sum("cnt").alias("cnt"))
+        )
+        whole = cms_sketch(df, "k", depth=4, width=64)
+        diff = (
+            merged.join(whole, ["row", "bucket"], "full")
+            .where(
+                SF.coalesce(merged["cnt"], SF.lit(0))
+                != SF.coalesce(whole["cnt"], SF.lit(0))
+            )
+            .count()
+        )
+        assert diff == 0
