@@ -33,6 +33,7 @@ __all__ = [
     "temperature_fractions",
     "temperature_sample",
     "pack_sequences",
+    "select_top_fraction",
 ]
 
 #: buckets used by the md5-Bernoulli keep decisions (matches
@@ -265,3 +266,61 @@ def pack_sequences(
     return df.withColumn("offset", (running - tok).cast("long")).withColumn(
         "shard", F.expr(f"offset DIV {int(budget)}")  # integer div: exact at any tape length
     )
+
+
+def select_top_fraction(
+    df: DataFrame,
+    score_col: str,
+    frac: float,
+    approx: bool = True,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Keep the top ``frac`` of rows by ``score_col`` (quality-score data
+    selection, the DSIR/CCNet "take the best X% of the corpus" step) by
+    THRESHOLD, never by rank: a global top-k (`orderBy().limit(k)`)
+    collects k rows through the driver and is unusable when k is 20% of
+    10^12 — a threshold filter is one more scan, embarrassingly parallel.
+
+    Ties at the threshold are INCLUDED (the kept count can exceed
+    ceil(frac * n) by the tie group), so membership is a pure function of
+    a row's own score — deterministic, partition-independent, replayable.
+
+    - ``approx=True`` (default, the 100-TB path): threshold =
+      ``percentile_approx(score, 1-frac)`` — one sketch agg, error bounded
+      by ``relative_error`` in RANK (a few misplaced rows near the cut).
+    - ``approx=False`` (exact, oracle-replayable): per-score counts
+      (shuffle ∝ DISTINCT scores) + a cumulative window over the distinct
+      scores descending; the window runs on the distinct-score table, not
+      the corpus — fine for integer-ish scores, prefer approx for
+      continuous ones.
+    """
+    if not 0 < frac <= 1:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    if approx:
+        thr = df.select(
+            F.percentile_approx(
+                F.col(score_col), 1.0 - frac, int(1.0 / relative_error)
+            ).alias("t")
+        ).first()["t"]
+    else:
+        import math
+
+        n = df.count()
+        k = max(1, math.ceil(n * frac))
+        per_score = df.groupBy(F.col(score_col).alias("__s")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        w = Window.orderBy(F.col("__s").desc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        thr_row = (
+            per_score.withColumn("__cum", F.sum("__c").over(w))
+            .where(F.col("__cum") >= F.lit(k))
+            .orderBy(F.col("__s").desc())
+            .limit(1)
+            .first()
+        )
+        thr = thr_row["__s"] if thr_row is not None else None
+    if thr is None:
+        return df  # empty input or all-null scores: nothing to cut
+    return df.where(F.col(score_col) >= F.lit(thr))

@@ -3333,3 +3333,104 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("long").alias("exact_count"),
         )
     )
+
+
+@register_query(
+    "top_fraction_counts",
+    r"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars FROM documents
+), k AS (
+  SELECT CAST(CEIL(COUNT(*) * 0.2) AS BIGINT) AS k FROM scored
+), cum AS (
+  SELECT n_chars AS s, SUM(COUNT(*)) OVER (ORDER BY n_chars DESC) AS c
+  FROM scored GROUP BY n_chars
+), thr AS (
+  SELECT s FROM cum WHERE c >= (SELECT k FROM k) ORDER BY s DESC LIMIT 1
+)
+SELECT lang, COUNT(*) AS kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM scored WHERE n_chars >= (SELECT s FROM thr)
+GROUP BY lang
+""",
+)
+def q_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/mixing.py select_top_fraction (exact mode): keep the top
+    20% of documents by n_chars, threshold-based with ties included —
+    membership is a pure function of the row's own score, so the survivor
+    set replays exactly (kept + id_sum per lang prove it). The exact
+    threshold comes from cumulative counts over DISTINCT scores, never a
+    corpus sort; the approx (percentile_approx) mode is the 100-TB path
+    and is pytest-asserted to bracket this exact answer."""
+    from data_profiler_spark.operators.mixing import select_top_fraction
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    kept = select_top_fraction(d, "n_chars", 0.2, approx=False)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+@register_query(
+    "mixture_packed_stats",
+    r"""
+WITH c AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), tot AS (
+  SELECT COUNT(*) // 2 AS t FROM documents
+), z AS (
+  SELECT SUM(sqrt(CAST(n AS DOUBLE))) AS z FROM c
+), thr AS (
+  SELECT lang,
+         CAST(FLOOR(LEAST(1.0,
+              ((SELECT t FROM tot)
+               * (sqrt(CAST(n AS DOUBLE)) / (SELECT z FROM z)))
+              / CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS th
+  FROM c
+), sampled AS (
+  SELECT d.doc_id,
+         CASE WHEN len(trim(d.text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END AS tok,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 4
+           AS stream,
+         md5(CAST(d.doc_id AS VARCHAR)) AS rk
+  FROM documents d JOIN thr USING (lang)
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+        < thr.th
+), packed AS (
+  SELECT tok, stream,
+         SUM(tok) OVER (PARTITION BY stream ORDER BY rk, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok AS off
+  FROM sampled
+)
+SELECT stream, COUNT(*) AS docs, CAST(SUM(tok) AS BIGINT) AS tokens,
+       CAST(MAX(off // 4096) + 1 AS BIGINT) AS n_shards
+FROM packed GROUP BY stream
+""",
+)
+def q_mixture_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus composition: temperature_sample (alpha=0.5, half
+    the corpus) CHAINED into pack_sequences (4 streams, 4096-token
+    budget) — the recipe -> shards pipeline as one lazy plan: the
+    sampling filter fuses into the packing window's scan, so the whole
+    composition is one corpus pass + one stream-keyed shuffle. Per-stream
+    doc/token/shard totals replay bit-exactly in the oracle."""
+    from data_profiler_spark.operators.mixing import (
+        pack_sequences,
+        temperature_sample,
+    )
+    from data_profiler_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    total = d.count()
+    kept = temperature_sample(
+        d.select("lang", "doc_id", "text"), "lang", "doc_id",
+        alpha=0.5, total_target=total // 2,
+    ).select("doc_id", token_count(F.col("text")).alias("tok"))
+    packed = pack_sequences(kept, "doc_id", "tok", budget=4096, n_streams=4)
+    return packed.groupBy("stream").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("tok").cast("long").alias("tokens"),
+        (F.max(F.expr("offset DIV 4096")) + 1).cast("long").alias("n_shards"),
+    )

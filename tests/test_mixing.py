@@ -356,3 +356,35 @@ class TestCountMinSketch:
             .count()
         )
         assert diff == 0
+
+
+class TestSelectTopFraction:
+    def test_exact_threshold_with_ties(self, spark):
+        from data_profiler_spark.operators.mixing import select_top_fraction
+
+        # scores: 9,9,8,8,8,1,1,1,1,1 ; top 30% -> k=3 -> threshold 8,
+        # ties included -> 5 kept
+        rows = [(i, s) for i, s in enumerate([9, 9, 8, 8, 8, 1, 1, 1, 1, 1])]
+        df = spark.createDataFrame(rows, "k long, s long")
+        kept = select_top_fraction(df, "s", 0.3, approx=False)
+        assert kept.count() == 5
+        assert kept.where(F.col("s") < 8).count() == 0
+
+    def test_approx_brackets_exact(self, spark):
+        from data_profiler_spark.operators.mixing import select_top_fraction
+
+        rows = [(i, i % 97) for i in range(2000)]
+        df = spark.createDataFrame(rows, "k long, s long")
+        exact = select_top_fraction(df, "s", 0.2, approx=False).count()
+        approx = select_top_fraction(
+            df, "s", 0.2, approx=True, relative_error=0.001
+        ).count()
+        # tight sketch on 97 distinct values: same threshold, same count
+        assert abs(approx - exact) <= 0.02 * 2000
+
+    def test_rejects_bad_frac(self, spark):
+        from data_profiler_spark.operators.mixing import select_top_fraction
+
+        df = spark.createDataFrame([(1, 1)], "k long, s long")
+        with pytest.raises(ValueError, match="frac"):
+            select_top_fraction(df, "s", 0.0)
