@@ -82,6 +82,12 @@ HEADLINE = [
     "temperature_mixture_counts",
     "contamination_fraction",
     "packed_shard_stats",
+    "dedup_survivors",
+    "code_blob_dedup_stats",
+    "cms_heavy_hitter_counts",
+    "top_fraction_counts",
+    "mixture_packed_stats",
+    "embedding_topk_pq",
 ]
 
 

@@ -420,3 +420,146 @@ def embedding_near_dup_pairs(
         return pd.concat(parts, ignore_index=True)
 
     return assigned.groupBy("centroid_id").applyInPandas(score_bucket, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid — TPAMI 2011)
+# ---------------------------------------------------------------------------
+
+
+def _cb_row(centroids: DataFrame) -> DataFrame:
+    """The codebook as ONE broadcastable row: array of centroid vectors
+    ordered by centroid_id (array_sort on the struct sorts by the first
+    field). crossJoin(broadcast(...)) attaches it to every row without a
+    shuffle and without baking k x dim literals into codegen."""
+    return centroids.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("centroid_id", "centroid_vec"))),
+            lambda s: s["centroid_vec"].cast("array<double>"),
+        ).alias("__cb")
+    )
+
+
+def _subdist(v: Column, cb: Column, j: Column, c: Column, sub: int) -> Column:
+    """Squared L2 distance between vector ``v``'s subspace-``j`` slice and
+    codebook entry ``c``'s same slice — an ascending-index left fold, the
+    order the DuckDB oracle replays."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(sub)),
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.pow(
+            F.element_at(v, (j * sub + t).cast("int"))
+            - F.element_at(F.element_at(cb, (c + 1).cast("int")), (j * sub + t).cast("int")),
+            2,
+        ),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+) -> DataFrame:
+    """Product-quantization encoding: compress each vector to ``m`` small
+    integer codes — subspace ``j``'s code is the codebook entry whose
+    ``j``-th slice is L2-nearest (FIRST index on ties, matching
+    ``array_position``/``list_position`` in the oracle). 64 doubles
+    (512 B) become 8 codes (~8 B): the memory step that makes
+    billion-vector ANN fit a cluster.
+
+    ``centroids`` is a (centroid_id, centroid_vec) table — train with
+    :func:`kmeans_like_centroids` (deterministic lowest-id seeds, which
+    keeps the whole PQ pipeline oracle-replayable) or
+    :func:`kmeans_refined_centroids` for better quantization error.
+
+    Plan: ONE corpus scan — the codebook rides in as a crossJoin of a
+    broadcast single row; per-subspace distances materialize as an array
+    (via ``transform``) so the argmin never re-evaluates them; zero
+    shuffle, zero UDF.
+    """
+    dim = len(centroids.select("centroid_vec").first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    cb = F.col("__cb")
+    # two-projection shape (same CSE rule as dedup.py's shingle ladder):
+    # the m x k distance matrix materializes ONCE as a named column, so
+    # the argmin's two references (array_position + array_min) don't each
+    # re-evaluate m*k*sub pow terms
+    dmat = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.sequence(F.lit(0), F.size(cb) - 1),
+            lambda c: _subdist(v, cb, j, c, sub),
+        ),
+    )
+    ds = F.col("__d")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.lit(m)),
+        lambda j: (
+            F.array_position(
+                F.element_at(ds, j.cast("int")),
+                F.array_min(F.element_at(ds, j.cast("int"))),
+            )
+            - 1
+        ).cast("int"),
+    )
+    return (
+        corpus.crossJoin(F.broadcast(_cb_row(centroids)))
+        .select(F.col(id_col), dmat.alias("__d"))
+        .select(F.col(id_col), codes.alias("codes"))
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k_top: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: approximate squared L2 of
+    (query, doc) = sum over subspaces of ||q_j - codebook[code_j]_j||^2 —
+    the doc's full vector is never touched, only its ``m`` codes.
+
+    Plan: queries broadcast against the encoded corpus (Q x N stays
+    row-local, no shuffle); per (query, doc) the distance folds over m
+    code lookups; top-k per query is a rank window that Spark rewrites
+    with WindowGroupLimit (map-side partial top-k). At real scale the
+    standard refinement — precompute each query's m x k distance TABLE
+    once instead of re-deriving terms per doc — is the same arithmetic
+    factored out; this form keeps the expression identical to the
+    oracle's replay.
+    """
+    dim = len(centroids.select("centroid_vec").first()[0])
+    sub = dim // m
+    qv = F.col(query_vec).cast("array<double>")
+    cb = F.col("__cb")
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + _subdist(qv, cb, j, F.element_at(F.col("codes"), (j + 1).cast("int")), sub),
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(_cb_row(centroids)))
+        .crossJoin(F.broadcast(queries.select(query_id, query_vec)))
+        .select(
+            F.col(query_id),
+            F.col(id_col),
+            F.round(adist, 6).alias("adist"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k_top
+    )

@@ -3434,3 +3434,70 @@ def q_mixture_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tok").cast("long").alias("tokens"),
         (F.max(F.expr("offset DIV 4096")) + 1).cast("long").alias("n_shards"),
     )
+
+
+_PQ_ORACLE = r"""
+WITH cb AS (
+  SELECT list(v ORDER BY vec_id) AS cbl
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings ORDER BY vec_id LIMIT 16)
+), ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), enc AS (
+  SELECT ev.vec_id,
+         [CAST(list_position(ds, list_min(ds)) - 1 AS INT)
+          for ds in [[list_sum([pow(v[j*8+t] - cbl[c+1][j*8+t], 2)
+                                for t in range(1, 9)])
+                      for c in range(0, 16)]
+                     for j in range(0, 8)]] AS codes
+  FROM ev, cb
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, enc.vec_id,
+         ROUND(list_sum([list_sum([pow(q.qv[j*8+t]
+                                       - cbl[enc.codes[j+1]+1][j*8+t], 2)
+                                   for t in range(1, 9)])
+                         for j in range(0, 8)]), 6) AS adist
+  FROM enc, q, cb
+), ranked AS (
+  SELECT query_id, vec_id, adist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id)
+           AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, adist, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register_query("embedding_topk_pq", _PQ_ORACLE)
+def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py pq_encode/pq_topk: product-quantization ANN
+    — vectors compress to m=8 one-byte codes against a 16-entry
+    deterministic codebook (lowest-id seeds, so the WHOLE pipeline —
+    train, encode, asymmetric top-k — replays bit-exactly in SQL), then
+    top-5 per query by asymmetric distance. The memory step for
+    billion-vector ANN: the scan ships codes, never vectors. Encode is
+    one shuffle-free pass (broadcast codebook row); top-k is a
+    WindowGroupLimit rank."""
+    from data_profiler_spark.operators.similarity import (
+        kmeans_like_centroids,
+        pq_encode,
+        pq_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_like_centroids(e, "vec_id", "embedding", 16, dim=64)
+    # encode is CPU-bound per row (m x k x sub HOF evals) and the fixture
+    # is a single row group -> one task; spread it like _docs does for text
+    enc = pq_encode(
+        e.repartition(spark.sparkContext.defaultParallelism),
+        cents, "vec_id", "embedding", m=8,
+    )
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return pq_topk(
+        enc, cents, queries, "query_id", "qvec", "vec_id", m=8, k_top=5
+    )

@@ -388,3 +388,45 @@ class TestSelectTopFraction:
         df = spark.createDataFrame([(1, 1)], "k long, s long")
         with pytest.raises(ValueError, match="frac"):
             select_top_fraction(df, "s", 0.0)
+
+
+class TestProductQuantization:
+    def test_codes_shape_and_self_reconstruction(self, spark):
+        from data_profiler_spark.operators.similarity import (
+            kmeans_like_centroids,
+            pq_encode,
+            pq_topk,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = kmeans_like_centroids(df, "vec_id", "embedding", 8, dim=16)
+        enc = pq_encode(df, cents, "vec_id", "embedding", m=4)
+        got = {r.vec_id: r.codes for r in enc.collect()}
+        assert len(got) == 40
+        assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in got.values())
+        # a codebook donor reconstructs itself exactly: codes = its own id
+        assert got[3] == [3, 3, 3, 3]
+
+        # ADC top-1 for a donor query is itself at distance 0
+        q = df.where(F.col("vec_id") == 2).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        top = pq_topk(enc, cents, q, m=4, k_top=1).first()
+        assert top.vec_id == 2 and top.adist == 0.0
+
+    def test_dim_not_divisible_raises(self, spark):
+        from data_profiler_spark.operators.similarity import (
+            kmeans_like_centroids,
+            pq_encode,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+        )
+        cents = kmeans_like_centroids(df, "vec_id", "embedding", 1, dim=3)
+        with pytest.raises(ValueError, match="divisible"):
+            pq_encode(df, cents, m=2)
