@@ -34,6 +34,8 @@ __all__ = [
     "temperature_sample",
     "pack_sequences",
     "select_top_fraction",
+    "upsample_by_fractions",
+    "split_by_cluster",
 ]
 
 #: buckets used by the md5-Bernoulli keep decisions (matches
@@ -324,3 +326,99 @@ def select_top_fraction(
     if thr is None:
         return df  # empty input or all-null scores: nothing to cut
     return df.where(F.col(score_col) >= F.lit(thr))
+
+
+def upsample_by_fractions(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    fractions: dict[Any, float],
+    default_fraction: float = 1.0,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Explicit duplication for mixture recipes whose fraction EXCEEDS 1
+    (epochs: "see rare-language docs 2.5x per pass"): each row is emitted
+    ``floor(f)`` times plus one more with probability ``frac(f)`` via an
+    md5-Bernoulli salted differently from the samplers ("up:" prefix, so
+    up- and down-sampling decisions on the same key are independent). A
+    ``copy_idx`` column (0-based) distinguishes the replicas for
+    downstream packing/shuffling; fractions < 1 work too (0 copies drops
+    the row), making this the general "weight -> multiplicity" operator —
+    :func:`temperature_sample` stays the cheaper path when all weights
+    are <= 1.
+
+    Deterministic and integer-exact: copies is a pure function of
+    (group, key); the fractional part compares an md5 bucket against
+    ``floor(frac(f) * buckets)``. Scale: one projection + explode — no
+    shuffle, no state; output size = sum of copies, exactly what the
+    recipe ordered.
+    """
+    bases: dict[Any, int] = {}
+    thrs: dict[Any, int] = {}
+    for k, f in fractions.items():
+        if f < 0:
+            raise ValueError(f"fraction for {k!r} must be >= 0, got {f}")
+        bases[k] = int(f)
+        thrs[k] = int((f - int(f)) * buckets)
+    d_base, d_thr = int(default_fraction), int(
+        (default_fraction - int(default_fraction)) * buckets
+    )
+    base: Column = F.lit(d_base)
+    thr: Column = F.lit(d_thr)
+    for value in sorted(bases, key=str):
+        cond = F.col(group_col) == F.lit(value)
+        base = F.when(cond, F.lit(bases[value])).otherwise(base)
+        thr = F.when(cond, F.lit(thrs[value])).otherwise(thr)
+    salted = F.concat(F.lit("up:"), F.col(key_col).cast("string"))
+    extra = (md5_bucket(salted, buckets) < thr).cast("int")
+    copies = (base + extra).cast("int")
+    idx = F.when(
+        copies > 0, F.sequence(F.lit(0), copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("copy_idx", F.explode(idx))
+
+
+def split_by_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    test_frac: float = 0.1,
+    node_col: str = "node",
+    comp_col: str = "component",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Leakage-free train/test split: the md5-Bernoulli is drawn on the
+    doc's CLUSTER representative (its ``component`` from
+    :func:`operators.dedup.connected_components`; its own id when
+    unclustered), so every member of a near-dup cluster lands on the SAME
+    side — a per-doc split would leak eval content into training through
+    its near-duplicates, the exact failure decontamination exists to
+    prevent. Adds a ``split`` column ('train'/'test').
+
+    Integral-id contract as in :func:`operators.dedup.cluster_survivors`.
+    Scale: one broadcast-eligible left join (clusters ≪ corpus) + a pure
+    filter-free projection; membership is reproducible and
+    partition-independent.
+    """
+    from pyspark.sql import types as T
+
+    if not 0 <= test_frac <= 1:
+        raise ValueError(f"test_frac must be in [0, 1], got {test_frac}")
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise ValueError(
+            f"split_by_cluster needs integral ids; column {id_col!r} is "
+            f"{dt.simpleString()} — map ids to longs first"
+        )
+    cl = clusters.select(
+        F.col(node_col).alias("__node"), F.col(comp_col).alias("__comp")
+    )
+    joined = df.join(cl, df[id_col] == cl["__node"], "left").drop("__node")
+    rep = F.coalesce(F.col("__comp"), F.col(id_col).cast("long"))
+    thr = int(test_frac * buckets)
+    return joined.withColumn(
+        "split",
+        F.when(md5_bucket(rep, buckets) < thr, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    ).drop("__comp")

@@ -3501,3 +3501,87 @@ def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         enc, cents, queries, "query_id", "qvec", "vec_id", m=8, k_top=5
     )
+
+
+@register_query(
+    "upsample_epoch_counts",
+    r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1 ELSE 0 END
+         + CASE WHEN ('0x' || substr(md5('up:' || CAST(doc_id AS VARCHAR)),
+                                     1, 15))::BIGINT % 10000
+                     < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 0
+                                 ELSE 3000 END
+                THEN 1 ELSE 0 END AS copies
+  FROM documents
+)
+SELECT lang,
+       CAST(SUM(copies) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN copies > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id * copies) AS BIGINT) AS id_sum
+FROM t GROUP BY lang
+HAVING SUM(copies) > 0
+""",
+)
+def q_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/mixing.py upsample_by_fractions: weight -> multiplicity
+    for mixture recipes with fractions above 1 (en 2.5 epochs, de 1.0,
+    rest 0.3): floor(f) copies plus an md5-Bernoulli extra, salted
+    independently of the down-samplers. The oracle computes expected
+    multiplicities WITHOUT the explode; the Spark side aggregates the
+    exploded rows — equality proves the explode emitted exactly the
+    ordered copies."""
+    from data_profiler_spark.operators.mixing import upsample_by_fractions
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    up = upsample_by_fractions(
+        d, "lang", "doc_id", {"en": 2.5, "de": 1.0}, default_fraction=0.3
+    )
+    return up.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+@register_query(
+    "cluster_split_counts",
+    r"""
+WITH g AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), comp AS (
+  SELECT h, MIN(doc_id) AS c FROM g GROUP BY h
+), a AS (
+  SELECT g.doc_id, comp.c FROM g JOIN comp USING (h)
+)
+SELECT CASE WHEN ('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 15))::BIGINT
+            % 10000 < 1000
+       THEN 'test' ELSE 'train' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM a GROUP BY 1
+""",
+)
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/mixing.py split_by_cluster: leakage-free train/test split
+    — the Bernoulli is drawn on the doc's CLUSTER representative, so a
+    near-dup cluster never straddles the split (the leak decontamination
+    exists to prevent). Clusters here = exact content groups (the
+    deterministic input DuckDB can rebuild); connected_components output
+    flows through the identical code path, invariant pytest-asserted."""
+    from data_profiler_spark.operators.mixing import split_by_cluster
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    g = d.select("doc_id", F.md5("text").alias("h"))
+    comp = g.groupBy("h").agg(F.min("doc_id").alias("component"))
+    clusters = g.join(comp, "h").select(
+        F.col("doc_id").alias("node"), "component"
+    )
+    out = split_by_cluster(
+        d.select("doc_id"), clusters, "doc_id", test_frac=0.1
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

@@ -430,3 +430,72 @@ class TestProductQuantization:
         cents = kmeans_like_centroids(df, "vec_id", "embedding", 1, dim=3)
         with pytest.raises(ValueError, match="divisible"):
             pq_encode(df, cents, m=2)
+
+
+class TestUpsample:
+    def test_multiplicities_and_copy_idx(self, spark):
+        from data_profiler_spark.operators.mixing import upsample_by_fractions
+
+        rows = [(i, "en") for i in range(100)] + [(1000 + i, "xx") for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        up = upsample_by_fractions(
+            df, "lang", "doc_id", {"en": 3.0, "xx": 0.5}
+        ).cache()
+        en = up.where(F.col("lang") == "en")
+        assert en.count() == 300  # integer fraction: exactly 3 copies each
+        assert {r.copy_idx for r in en.collect()} == {0, 1, 2}
+        xx = up.where(F.col("lang") == "xx").count()
+        assert 25 <= xx <= 75  # ~50% Bernoulli keep
+        # deterministic across partitionings
+        up2 = upsample_by_fractions(
+            df.repartition(7), "lang", "doc_id", {"en": 3.0, "xx": 0.5}
+        )
+        a = sorted((r.doc_id, r.copy_idx) for r in up.collect())
+        b = sorted((r.doc_id, r.copy_idx) for r in up2.collect())
+        assert a == b
+
+    def test_rejects_negative(self, spark):
+        from data_profiler_spark.operators.mixing import upsample_by_fractions
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
+        with pytest.raises(ValueError, match="fraction"):
+            upsample_by_fractions(df, "lang", "doc_id", {"a": -1.0})
+
+
+class TestSplitByCluster:
+    def test_clusters_never_straddle(self, spark):
+        from data_profiler_spark.operators.mixing import split_by_cluster
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(200)], "doc_id long"
+        )
+        # 50 clusters of 4 members each
+        clusters = spark.createDataFrame(
+            [(i, (i % 50) * 4) for i in range(200)], "node long, component long"
+        )
+        out = split_by_cluster(docs, clusters, "doc_id", test_frac=0.3).cache()
+        sides = (
+            out.join(clusters, out["doc_id"] == clusters["node"])
+            .groupBy("component")
+            .agg(F.count_distinct("split").alias("k"))
+        )
+        assert sides.where(F.col("k") > 1).count() == 0
+        n_test = out.where(F.col("split") == "test").count()
+        assert 0 < n_test < 200
+
+    def test_unclustered_docs_split_individually(self, spark):
+        from data_profiler_spark.operators.mixing import split_by_cluster
+
+        docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+        empty = spark.createDataFrame([], "node long, component long")
+        out = split_by_cluster(docs, empty, "doc_id", test_frac=0.2)
+        n_test = out.where(F.col("split") == "test").count()
+        assert 50 <= n_test <= 150  # ~20% of 500
+
+    def test_rejects_string_ids(self, spark):
+        from data_profiler_spark.operators.mixing import split_by_cluster
+
+        docs = spark.createDataFrame([("a",)], "doc_id string")
+        cl = spark.createDataFrame([], "node long, component long")
+        with pytest.raises(ValueError, match="integral"):
+            split_by_cluster(docs, cl, "doc_id")
