@@ -88,6 +88,8 @@ HEADLINE = [
     "top_fraction_counts",
     "mixture_packed_stats",
     "embedding_topk_pq",
+    "upsample_epoch_counts",
+    "cluster_split_counts",
 ]
 
 

@@ -144,8 +144,8 @@ def temperature_fractions(
     folds the same sorted order (IEEE doubles have no associativity —
     an unordered SUM() would not be). Fractions are truncated to an
     integer threshold out of DEFAULT_BUCKETS by the sampler, capping at
-    1.0 for groups whose target exceeds their size (no upsampling —
-    duplication is a separate, explicit op).
+    1.0 for groups whose target exceeds their size (no implicit
+    upsampling — duplication is :func:`upsample_by_fractions`, explicit).
     """
     if not 0 < alpha <= 1:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -422,3 +422,25 @@ def split_by_cluster(
             F.lit("train")
         ),
     ).drop("__comp")
+
+
+def write_packed_shards(
+    packed: DataFrame,
+    path: str,
+    mode: str = "error",
+    format: str = "parquet",
+) -> None:
+    """Materialize :func:`pack_sequences` output as a shard-addressable
+    dataset: ``partitionBy(stream, shard)`` so a training loader reads
+    shard (s, k) as one directory listing — no index, no manifest, and
+    partition pruning makes "read shards 0..9 of stream 3" a metadata
+    operation.
+
+    Scale note: rows arrive already hash-partitioned by ``stream`` (the
+    packing window's shuffle), so each task writes only its own streams'
+    directories — no extra repartition, no small-file explosion beyond
+    one file per (task, shard). For very fine shards repartition by
+    (stream, shard) first to get exactly one file per shard."""
+    packed.write.mode(mode).format(format).partitionBy("stream", "shard").save(
+        path
+    )

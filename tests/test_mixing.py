@@ -499,3 +499,23 @@ class TestSplitByCluster:
         cl = spark.createDataFrame([], "node long, component long")
         with pytest.raises(ValueError, match="integral"):
             split_by_cluster(docs, cl, "doc_id")
+
+
+def test_write_packed_shards(spark, tmp_path):
+    from data_profiler_spark.operators.mixing import (
+        pack_sequences,
+        write_packed_shards,
+    )
+
+    rows = [(i, 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, tok long")
+    packed = pack_sequences(df, "k", "tok", budget=200, n_streams=2)
+    out = str(tmp_path / "shards")
+    write_packed_shards(packed, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    # partition pruning: reading one (stream, shard) dir touches one group
+    one = spark.read.parquet(out).where("stream = 0 AND shard = 0")
+    assert 0 < one.count() <= 4  # 200-token shards of 50-token docs
+    import os
+    assert any(p.startswith("stream=") for p in os.listdir(out))
