@@ -218,7 +218,14 @@ def temperature_sample(
     thresholds = {k: int(f * buckets) for k, f in fracs.items()}
     thr: Column = F.lit(0)
     for value, t in sorted(thresholds.items(), key=lambda kv: str(kv[0])):
-        thr = F.when(F.col(group_col) == F.lit(value), F.lit(t)).otherwise(thr)
+        # isNull for the None group: `col == lit(None)` is NULL, which
+        # would silently drop every NULL-group row the count included
+        cond = (
+            F.col(group_col).isNull()
+            if value is None
+            else F.col(group_col) == F.lit(value)
+        )
+        thr = F.when(cond, F.lit(t)).otherwise(thr)
     return df.where(md5_bucket(F.col(key_col), buckets) < thr)
 
 
@@ -298,8 +305,9 @@ def select_top_fraction(
     """
     if not 0 < frac <= 1:
         raise ValueError(f"frac must be in (0, 1], got {frac}")
+    scored = df.where(F.col(score_col).isNotNull())  # NULL scores never win
     if approx:
-        thr = df.select(
+        thr = scored.select(
             F.percentile_approx(
                 F.col(score_col), 1.0 - frac, int(1.0 / relative_error)
             ).alias("t")
@@ -307,9 +315,12 @@ def select_top_fraction(
     else:
         import math
 
-        n = df.count()
+        # count SCORABLE rows only: a mostly-NULL column would otherwise
+        # inflate k past the scorable population, land the threshold on
+        # the NULL group, and return the corpus unfiltered
+        n = scored.count()
         k = max(1, math.ceil(n * frac))
-        per_score = df.groupBy(F.col(score_col).alias("__s")).agg(
+        per_score = scored.groupBy(F.col(score_col).alias("__s")).agg(
             F.count(F.lit(1)).alias("__c")
         )
         w = Window.orderBy(F.col("__s").desc()).rowsBetween(
@@ -324,8 +335,8 @@ def select_top_fraction(
         )
         thr = thr_row["__s"] if thr_row is not None else None
     if thr is None:
-        return df  # empty input or all-null scores: nothing to cut
-    return df.where(F.col(score_col) >= F.lit(thr))
+        return scored  # no scorable rows at all: empty result, not passthrough
+    return scored.where(F.col(score_col) >= F.lit(thr))
 
 
 def upsample_by_fractions(
@@ -366,7 +377,12 @@ def upsample_by_fractions(
     base: Column = F.lit(d_base)
     thr: Column = F.lit(d_thr)
     for value in sorted(bases, key=str):
-        cond = F.col(group_col) == F.lit(value)
+        # isNull for the None group (same rule as temperature_sample)
+        cond = (
+            F.col(group_col).isNull()
+            if value is None
+            else F.col(group_col) == F.lit(value)
+        )
         base = F.when(cond, F.lit(bases[value])).otherwise(base)
         thr = F.when(cond, F.lit(thrs[value])).otherwise(thr)
     salted = F.concat(F.lit("up:"), F.col(key_col).cast("string"))

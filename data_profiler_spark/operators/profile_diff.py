@@ -79,10 +79,19 @@ class ProfileStore:
         self.path = path
 
     def read(self) -> DataFrame:
+        """Empty-store reads return an empty frame ONLY for the
+        legitimate first-run case (path does not exist yet); any other
+        failure — permissions, corrupt files, wrong format — re-raises,
+        because swallowing it would make a drift gate built on this store
+        pass vacuously against a mistyped path."""
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.schema(PROFILE_SCHEMA).parquet(self.path)
-        except Exception:
-            return self.spark.createDataFrame([], PROFILE_SCHEMA)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return self.spark.createDataFrame([], PROFILE_SCHEMA)
+            raise
 
     def append_profiles(
         self,

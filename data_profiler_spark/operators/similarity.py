@@ -539,7 +539,18 @@ def pq_topk(
     oracle's replay.
     """
     dim = len(centroids.select("centroid_vec").first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
+    # a wrong m vs the encode-time m reads past the codes array: under
+    # non-ANSI element_at that is NULL, and NULL adist would rank FIRST
+    # (ASC NULLS FIRST) — garbage top-k with no error. One cheap probe.
+    probe = encoded.select("codes").first()
+    if probe is not None and probe[0] is not None and len(probe[0]) != m:
+        raise ValueError(
+            f"encoded codes have length {len(probe[0])} but m={m} — "
+            "encode and query must use the same m"
+        )
     qv = F.col(query_vec).cast("array<double>")
     cb = F.col("__cb")
     adist = F.aggregate(

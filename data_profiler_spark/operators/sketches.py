@@ -46,10 +46,17 @@ def kmv_sketch(df: DataFrame, key_col: str | Column, k: int = 256) -> DataFrame:
     """Bottom-k sketch of a key column: the k smallest DISTINCT hash
     values, one ``h`` column. distinct -> orderBy -> limit compiles to a
     map-side-combined HashAggregate + TakeOrderedAndProject — no global
-    sort materializes."""
+    sort materializes.
+
+    NULL keys are dropped BEFORE sketching: md5(NULL) is NULL, which
+    sorts first (NULLS FIRST) and would occupy a sketch slot — worse, a
+    single NULL makes count(h) read k-1 and trips the "exhaustive
+    sketch" branch of the estimator, collapsing a million-key estimate
+    to ~k-1."""
     col = F.col(key_col) if isinstance(key_col, str) else key_col
     return (
         df.select(kmv_hash(col).alias("h"))
+        .where(F.col("h").isNotNull())
         .distinct()
         .orderBy("h")
         .limit(int(k))

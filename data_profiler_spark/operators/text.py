@@ -467,13 +467,12 @@ def unigram_logprob(
 
     Physical shape — the corpus text is tokenized and scanned ONCE: the
     per-(doc, token) multiplicities come from one map-side-combined
-    aggregation; the fitted vocab derives from THOSE counts and, in
-    self-fit mode, is materialized executor-side via
-    ``localCheckpoint(eager=True)`` (size ∝ distinct tokens — never the
-    driver) so neither the vocab-total scalar nor the scoring join
-    re-tokenizes the corpus (Catalyst does not dedup a lazily shared
-    subplan; without the cut this operator scanned the text three
-    times). The scoring join is on the token key — AQE broadcasts the
+    aggregation and, in self-fit mode, are materialized executor-side via
+    ``localCheckpoint(eager=True)`` — the cut sits on the CORPUS-derived
+    side because fitting AND scoring both consume it (Catalyst does not
+    dedup a lazily shared subplan across actions; a cut on the fitted
+    vocab alone would leave the scoring action to re-tokenize from raw
+    text). The scoring join is on the token key — AQE broadcasts the
     fitted side when small — and the per-doc mean is the
     multiplicity-weighted mean, so no exploded row survives the first
     shuffle. Pass a pre-fitted ``vocab`` DataFrame (tok, c) to score a
@@ -489,11 +488,14 @@ def unigram_logprob(
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
     if vocab is None:
-        fitted = (
-            tok_counts.groupBy("tok")
-            .agg(F.sum("__cnt").alias("c"))
-            .localCheckpoint(eager=True)
-        )
+        # cut on the CORPUS-derived side: fitting AND scoring both consume
+        # tok_counts, and a cut only on the fitted vocab would leave the
+        # scoring action to re-tokenize the corpus from raw text (one
+        # materialization ∝ per-doc token counts buys back a full
+        # tokenize+explode+shuffle pass). With a pre-fitted vocab
+        # tok_counts is consumed once — no cut, no materialization.
+        tok_counts = tok_counts.localCheckpoint(eager=True)
+        fitted = tok_counts.groupBy("tok").agg(F.sum("__cnt").alias("c"))
         how = "inner"
     else:
         fitted, how = vocab, "left"
@@ -542,8 +544,12 @@ def perplexity_buckets(
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     ids = list(id_cols or ["doc_id"])
-    scored = unigram_logprob(df, text_col, ids, vocab=vocab).withColumn(
-        "mean_logprob", F.round("mean_logprob", round_to)
+    scored = (
+        unigram_logprob(df, text_col, ids, vocab=vocab)
+        .withColumn("mean_logprob", F.round("mean_logprob", round_to))
+        # 1 row/doc — cheap cut so the threshold agg and the final bucket
+        # projection don't each replay the scoring join
+        .localCheckpoint(eager=True)
     )
     qs = [i / n_buckets for i in range(1, n_buckets)]
     th_row = scored.agg(
@@ -552,6 +558,11 @@ def perplexity_buckets(
             for i, q in enumerate(qs)
         ]
     ).first()
+    if th_row is None or th_row["t0"] is None:
+        # empty corpus / all-whitespace texts: no per-doc scores, so no
+        # thresholds — return the (empty) scored frame with the output
+        # schema instead of crashing on float(None)
+        return scored.withColumn("bucket_index", F.lit(0)).where(F.lit(False))
     thresholds = [float(th_row[f"t{i}"]) for i in range(len(qs))]
     bucket = F.lit(len(qs))
     for i in reversed(range(len(qs))):
@@ -579,12 +590,13 @@ def dsir_logratio(
     the estimator shape and the one-pass physical plan are the same).
 
     Physical shape: the corpus is tokenized and scanned ONCE — the
-    per-(doc, token) multiplicities carry a target flag, BOTH models
-    derive from one further groupBy(tok) over those counts (raw count +
-    conditional target count in the same agg, then
-    ``localCheckpoint(eager=True)`` to cut the shared-subplan re-scan,
-    same rationale as unigram_logprob), and scoring is one join on the
-    token key. Tokens unseen in the target subset get the
+    per-(doc, token) multiplicities carry a target flag and are
+    materialized via ``localCheckpoint(eager=True)`` (the cut sits on the
+    corpus-derived side, same rationale as unigram_logprob); BOTH models
+    come from one further groupBy(tok) over those materialized counts
+    (raw count + conditional target count in the same agg), and scoring
+    is one join on the token key. Tokens unseen in the target subset get
+    the
     ``oov_logprob`` floor; tokens are always seen in raw (it is a
     superset).
 
@@ -601,14 +613,13 @@ def dsir_logratio(
         )
         .groupBy(*ids, "__tgt", "tok")
         .agg(F.count(F.lit(1)).alias("__cnt"))
-    )
-    models = (
-        tok_counts.groupBy("tok")
-        .agg(
-            F.sum("__cnt").alias("c_raw"),
-            F.sum(F.when(F.col("__tgt") == 1, F.col("__cnt"))).alias("c_tgt"),
-        )
+        # cut on the corpus-derived side (same rationale as
+        # unigram_logprob): both models and scoring consume tok_counts
         .localCheckpoint(eager=True)
+    )
+    models = tok_counts.groupBy("tok").agg(
+        F.sum("__cnt").alias("c_raw"),
+        F.sum(F.when(F.col("__tgt") == 1, F.col("__cnt"))).alias("c_tgt"),
     )
     totals = models.agg(
         F.sum("c_raw").cast("double").alias("__t_raw"),

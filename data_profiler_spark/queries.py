@@ -1059,11 +1059,20 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rather than silently replaying stale centroids.
 
 
-def _ivf_fixture_path(sf_dir: str) -> str:
+def _fixture_path(sf_dir: str, name: str) -> str:
+    """Per-sf fixture path shared by every fixture-replay oracle (IVF
+    centroids, URN results store, profile store). ONE normalization so
+    tools/oracle_check.py's non-gate-scale retarget — a literal rewrite
+    of the '/tmp/dps_fixture/sf0.01/' prefix — stays in sync with all of
+    them (ADVICE r5 / review r6)."""
     import os.path
 
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
-    return f"/tmp/dps_fixture/{sf_name}/ivf_refined_centroids.parquet"
+    return f"/tmp/dps_fixture/{sf_name}/{name}"
+
+
+def _ivf_fixture_path(sf_dir: str) -> str:
+    return _fixture_path(sf_dir, "ivf_refined_centroids.parquet")
 
 
 _IVF_CENT_FIXTURE_GATE = _ivf_fixture_path("sf0.01")
@@ -2459,10 +2468,7 @@ SELECT 'prior_run_was_successful', TRUE, 1.0
 
 
 def _urn_store_path(sf_dir: str) -> str:
-    import os.path
-
-    sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
-    return f"/tmp/dps_fixture/{sf_name}/urn_results_store.parquet"
+    return _fixture_path(sf_dir, "urn_results_store.parquet")
 
 
 @register_query("urn_cross_suite_verdicts", _URN_ORACLE)
@@ -2629,10 +2635,7 @@ SELECT 'value', 'mean_shift',
 
 
 def _profile_store_path(sf_dir: str) -> str:
-    import os.path
-
-    sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
-    return f"/tmp/dps_fixture/{sf_name}/profile_store.parquet"
+    return _fixture_path(sf_dir, "profile_store.parquet")
 
 
 @register_query(

@@ -98,5 +98,12 @@ def sample_stratified_by_hash(
     ) % buckets
     frac: Column = F.lit(float(default_fraction))
     for value, f in sorted(fractions.items(), key=lambda kv: str(kv[0])):
-        frac = F.when(F.col(strata_col) == F.lit(value), float(f)).otherwise(frac)
+        # isNull for a None stratum: `col == lit(None)` is NULL and would
+        # silently drop NULL-stratum rows instead of applying their rate
+        cond = (
+            F.col(strata_col).isNull()
+            if value is None
+            else F.col(strata_col) == F.lit(value)
+        )
+        frac = F.when(cond, float(f)).otherwise(frac)
     return df.where(bucket < frac * buckets)

@@ -519,3 +519,87 @@ def test_write_packed_shards(spark, tmp_path):
     assert 0 < one.count() <= 4  # 200-token shards of 50-token docs
     import os
     assert any(p.startswith("stream=") for p in os.listdir(out))
+
+
+class TestNullHandlingFixes:
+    """Review r6: NULL keys/groups/scores must not corrupt results."""
+
+    def test_kmv_sketch_drops_null_keys(self, spark):
+        from data_profiler_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+        rows = [(f"k{i}",) for i in range(500)] + [(None,)]
+        df = spark.createDataFrame(rows, "k string")
+        sk = kmv_sketch(df, "k", k=256)
+        assert sk.count() == 256  # NULL did not occupy a slot
+        assert sk.where(F.col("h").isNull()).count() == 0
+        est = kmv_overlap(df, df, "k", k=256).first()
+        # 500 distinct real keys >> 256: estimator must NOT collapse to ~255
+        assert est.est_distinct_a > 300
+
+    def test_temperature_sample_null_group(self, spark):
+        from data_profiler_spark.operators.mixing import temperature_sample
+
+        rows = [("en", i) for i in range(100)] + [(None, 1000 + i) for i in range(100)]
+        df = spark.createDataFrame(rows, "lang string, k long")
+        kept = temperature_sample(df, "lang", "k", alpha=0.5, total_target=100)
+        got = {r.lang: r["count"] for r in kept.groupBy("lang").count().collect()}
+        # the NULL group was counted, so it must also be sampled, not dropped
+        assert got.get(None, 0) > 20
+
+    def test_upsample_null_group(self, spark):
+        from data_profiler_spark.operators.mixing import upsample_by_fractions
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "a")], "doc_id long, lang string"
+        )
+        up = upsample_by_fractions(df, "lang", "doc_id", {None: 2.0, "a": 1.0})
+        got = {r.doc_id for r in up.collect()}
+        assert got == {1, 2}
+        assert up.where(F.col("doc_id") == 1).count() == 2
+
+    def test_top_fraction_ignores_null_scores(self, spark):
+        from data_profiler_spark.operators.mixing import select_top_fraction
+
+        rows = [(i, None) for i in range(95)] + [(100 + i, i) for i in range(5)]
+        df = spark.createDataFrame(rows, "k long, s long")
+        kept = select_top_fraction(df, "s", 0.2, approx=False)
+        # 20% of the 5 SCORABLE rows -> 1 row (the max score), not all 100
+        assert kept.count() == 1
+        assert kept.first().s == 4
+
+    def test_pq_topk_rejects_mismatched_m(self, spark):
+        from data_profiler_spark.operators.similarity import (
+            kmeans_like_centroids,
+            pq_encode,
+            pq_topk,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(8)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = kmeans_like_centroids(df, "vec_id", "embedding", 4, dim=4)
+        enc = pq_encode(df, cents, m=2)
+        q = df.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        with pytest.raises(ValueError, match="same m"):
+            pq_topk(enc, cents, q, m=4)
+
+    def test_perplexity_buckets_empty_corpus(self, spark):
+        from data_profiler_spark.operators.text import perplexity_buckets
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        out = perplexity_buckets(df)
+        assert out.count() == 0
+        assert "bucket_index" in out.columns
+
+    def test_profile_store_read_raises_on_corrupt(self, spark, tmp_path):
+        from data_profiler_spark.operators.profile_diff import ProfileStore
+
+        missing = ProfileStore(spark, str(tmp_path / "never_written"))
+        assert missing.read().count() == 0  # first-run case stays graceful
+        bad = tmp_path / "corrupt.parquet"
+        bad.mkdir()
+        (bad / "part-0000.parquet").write_text("this is not parquet")
+        store = ProfileStore(spark, str(bad))
+        with pytest.raises(Exception):
+            store.read().count()
