@@ -336,6 +336,11 @@ def jaccard_pairs(
             ).alias("sh"),
         )
         .withColumn("sz", F.size("sh"))
+        # materialize ONCE: three consumers (inverted index + both sides
+        # of the verification join) would otherwise each re-run the
+        # tokenize+shingle+sort ladder — Catalyst does not dedup a shared
+        # lazy subplan. Standard SSJoin practice: prepare records once.
+        .localCheckpoint(eager=True)
     )
     sh = sh_arr.select(id_col, "sz", F.explode("sh").alias("s"))
 
@@ -356,6 +361,14 @@ def jaccard_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # explicit fan-out: a candidate row is two longs, so AQE coalesces
+        # the distinct's output to ~1 partition by SIZE — but each row
+        # costs an array_intersect over full shingle arrays downstream,
+        # and with both record sides broadcast the whole verification
+        # would run on that one task (measured 147 s for 965k candidates
+        # at sf0.1; 8x parallel after the fan-out). Bytes-based planning
+        # misprices compute-heavy rows; repartitioning 16 B/row is free.
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
 
     a = sh_arr.select(

@@ -1,5 +1,7 @@
 """Corpus composition operators: per-source caps, temperature-based
-mixture sampling, and sequence packing.
+mixture sampling (doc- or token-weighted), quality-threshold selection,
+epoch upsampling, leakage-free cluster-aware splits, token-budget
+sequence packing, and the shard-addressable writer.
 
 These are the "decide what the training mix looks like" stage of a
 web-scale pipeline — the step between filtering/dedup (operators/text.py,
