@@ -90,6 +90,7 @@ HEADLINE = [
     "embedding_topk_pq",
     "upsample_epoch_counts",
     "cluster_split_counts",
+    "embedding_topk_ivfpq",
 ]
 
 

@@ -462,6 +462,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     m: int = 8,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Product-quantization encoding: compress each vector to ``m`` small
     integer codes — subspace ``j``'s code is the codebook entry whose
@@ -510,8 +511,8 @@ def pq_encode(
     )
     return (
         corpus.crossJoin(F.broadcast(_cb_row(centroids)))
-        .select(F.col(id_col), dmat.alias("__d"))
-        .select(F.col(id_col), codes.alias("codes"))
+        .select(F.col(id_col), *(keep_cols or []), dmat.alias("__d"))
+        .select(F.col(id_col), *(keep_cols or []), codes.alias("codes"))
     )
 
 
@@ -567,6 +568,115 @@ def pq_topk(
             F.col(id_col),
             F.round(adist, 6).alias("adist"),
         )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k_top
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    n_coarse: int = 4,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    k_top: int = 5,
+    coarse: DataFrame | None = None,
+) -> DataFrame:
+    """IVF+PQ — the standard billion-vector ANN architecture (FAISS
+    IVFADC; Jégou et al. 2011 §IV): a coarse quantizer routes each vector
+    to one of ``n_coarse`` inverted lists, the RESIDUAL (vector minus its
+    coarse centroid) is product-quantized to ``m`` codes, and a query
+    scans only its ``nprobe`` nearest lists, scoring candidates by
+    asymmetric distance between its residual and their codes.
+
+    Why both stages matter at 10^9+ vectors: IVF alone still ships full
+    vectors (memory-bound); PQ alone still scans every code (compute-
+    bound). Composed, the scan touches nprobe/n_coarse of the corpus and
+    each candidate costs m byte-lookups.
+
+    Deterministic end to end (lowest-id coarse seeds; residual codebook =
+    residuals of the ``n_codes`` lowest-id vectors), so the whole three-
+    stage pipeline replays bit-exactly in the SQL oracle — swap in
+    ``kmeans_refined_centroids`` via ``coarse`` for better recall when
+    replayability is not needed.
+
+    Plan: coarse assign is one broadcast pass (no shuffle); residuals and
+    codes are projections on top; the probe join is an equi-join on
+    centroid_id (at scale: the encoded table is WRITTEN bucketed by
+    centroid_id, making it a bucket-pruned scan); top-k per query is a
+    WindowGroupLimit rank.
+    """
+    spark = corpus.sparkSession
+    cents = (
+        coarse
+        if coarse is not None
+        else kmeans_like_centroids(corpus, id_col, vec_col, n_coarse)
+    )
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    cvec = F.col("centroid_vec").cast("array<double>")
+    res = assigned.join(F.broadcast(cents), "centroid_id").select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), cvec, lambda a, b: a - b
+        ).alias("__res"),
+    )
+    # residual codebook: residuals of the n_codes lowest-id vectors —
+    # tiny (n_codes x dim cells), collected and re-created like
+    # kmeans_like_centroids' driver path
+    rows = res.select(id_col, "__res").orderBy(F.col(id_col)).limit(n_codes).collect()
+    rcb = spark.createDataFrame(
+        [(i, list(r[1])) for i, r in enumerate(rows)],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    enc = pq_encode(
+        res, rcb, id_col, "__res", m=m, keep_cols=["centroid_id"]
+    )
+    # nprobe nearest coarse lists per query (same dot/|c| comparator as
+    # ivf_assign), then the query's residual AGAINST EACH probed centroid
+    cq = cents.withColumn("__cnorm", norm(F.col("centroid_vec")))
+    qv = F.col(query_vec).cast("array<double>")
+    qj = queries.crossJoin(F.broadcast(cq)).select(
+        F.col(query_id),
+        F.col("centroid_id"),
+        F.zip_with(qv, cvec, lambda a, b: a - b).alias("__qres"),
+        (dot(qv, F.col("centroid_vec")) / F.col("__cnorm")).alias("__csim"),
+    )
+    wq = Window.partitionBy(query_id).orderBy(
+        F.desc("__csim"), F.col("centroid_id").asc()
+    )
+    probes = (
+        qj.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select(query_id, "centroid_id", "__qres")
+    )
+    dim = len(rcb.select("centroid_vec").first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    cb = F.col("__cb")
+    qr = F.col("__qres")
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + _subdist(
+            qr, cb, j, F.element_at(F.col("codes"), (j + 1).cast("int")), sub
+        ),
+    )
+    scored = (
+        enc.join(F.broadcast(probes), "centroid_id")
+        .crossJoin(F.broadcast(_cb_row(rcb)))
+        .select(F.col(query_id), F.col(id_col), F.round(adist, 6).alias("adist"))
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("adist").asc(), F.col(id_col).asc()

@@ -3588,3 +3588,87 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+_IVFPQ_ORACLE = r"""
+WITH ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), coarse AS (
+  SELECT list(v ORDER BY vec_id) AS cl
+  FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT 4)
+), asg AS (
+  SELECT vec_id, v, CAST(list_position(sims, list_max(sims)) - 1 AS INT) AS cid
+  FROM (SELECT ev.vec_id, ev.v,
+               [list_sum([v[t] * cl[c+1][t] for t in range(1, 65)])
+                / sqrt(list_sum([cl[c+1][t] * cl[c+1][t]
+                                 for t in range(1, 65)]))
+                for c in range(0, 4)] AS sims
+        FROM ev, coarse)
+), resid AS (
+  SELECT vec_id, cid,
+         [v[t] - cl[cid+1][t] for t in range(1, 65)] AS rv
+  FROM asg, coarse
+), rcb AS (
+  SELECT list(rv ORDER BY vec_id) AS rl
+  FROM (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT 16)
+), enc AS (
+  SELECT resid.vec_id, resid.cid,
+         [CAST(list_position(ds, list_min(ds)) - 1 AS INT)
+          for ds in [[list_sum([pow(rv[j*8+t] - rl[c+1][j*8+t], 2)
+                                for t in range(1, 9)])
+                      for c in range(0, 16)]
+                     for j in range(0, 8)]] AS codes
+  FROM resid, rcb
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id < 5
+), qsims AS (
+  SELECT q.query_id, q.qv, c.c AS cid,
+         list_sum([q.qv[t] * cl[c.c+1][t] for t in range(1, 65)])
+         / sqrt(list_sum([cl[c.c+1][t] * cl[c.c+1][t] for t in range(1, 65)]))
+           AS csim
+  FROM q, coarse, (SELECT UNNEST(range(0, 4)) AS c) c
+), probes AS (
+  SELECT query_id, cid,
+         [qv[t] - cl[cid+1][t] for t in range(1, 65)] AS qres
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY csim DESC, cid) AS rn
+        FROM qsims) s, coarse
+  WHERE rn <= 2
+), scored AS (
+  SELECT p.query_id, e.vec_id,
+         ROUND(list_sum([list_sum([pow(p.qres[j*8+t]
+                                       - rl[e.codes[j+1]+1][j*8+t], 2)
+                                   for t in range(1, 9)])
+                         for j in range(0, 8)]), 6) AS adist
+  FROM enc e JOIN probes p ON e.cid = p.cid, rcb
+), ranked AS (
+  SELECT query_id, vec_id, adist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id)
+           AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, adist, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register_query("embedding_topk_ivfpq", _IVFPQ_ORACLE)
+def q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py ivfpq_topk: the FAISS-IVFADC architecture —
+    coarse quantizer (4 lists, dot/|c| assignment) + product-quantized
+    RESIDUALS (m=8 codes vs a 16-entry residual codebook) + nprobe=2
+    asymmetric-distance search. The billion-vector shape: a query scans
+    nprobe/n_coarse of the corpus and each candidate costs m byte
+    lookups, never a full vector. Every stage is deterministic
+    (lowest-id seeds), so the three-stage pipeline replays bit-exactly
+    in the oracle's SQL."""
+    from data_profiler_spark.operators.similarity import ivfpq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_topk(
+        e.repartition(spark.sparkContext.defaultParallelism),
+        queries, "vec_id", "embedding", "query_id", "qvec",
+        n_coarse=4, nprobe=2, m=8, n_codes=16, k_top=5,
+    )

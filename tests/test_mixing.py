@@ -603,3 +603,34 @@ class TestNullHandlingFixes:
         store = ProfileStore(spark, str(bad))
         with pytest.raises(Exception):
             store.read().count()
+
+
+def test_ivfpq_topk_self_hit_and_probe_pruning(spark):
+    """A codebook/centroid donor reconstructs itself at distance 0; docs
+    assigned to unprobed lists never appear in a query's results."""
+    import random
+
+    from data_profiler_spark.operators.similarity import ivf_assign, ivfpq_topk
+    from data_profiler_spark.operators.similarity import kmeans_like_centroids
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") == 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = ivfpq_topk(
+        df, q, n_coarse=4, nprobe=1, m=4, n_codes=8, k_top=5
+    ).cache()
+    top = out.where(F.col("rank") == 1).first()
+    assert top.vec_id == 2 and top.adist == 0.0
+    # with nprobe=1, every result lives in the query's own coarse list
+    cents = kmeans_like_centroids(df, "vec_id", "embedding", 4, dim=16)
+    assigned = ivf_assign(df, cents, "vec_id", "embedding")
+    own_list = assigned.where(F.col("vec_id") == 2).first()["centroid_id"]
+    hits = {r.vec_id for r in out.collect()}
+    lists = {
+        r["centroid_id"]
+        for r in assigned.where(F.col("vec_id").isin(hits)).collect()
+    }
+    assert lists == {own_list}
