@@ -168,22 +168,33 @@ def main() -> None:
     # after a short idle (bucket refill) and report BOTH runs; the headline
     # row takes the retry only when the retry's probe is clean, so no
     # dirty-probe number ever leads the round-over-round table.
+    # A second blind spot (observed 2026-08-18): sustained-load throttling
+    # can slow a query 10x while the 0.2 s probe burst stays clean (same
+    # signature as BENCH.md's measurement-integrity note). So ABSOLUTE
+    # outliers are retried too, and the headline row takes the MIN of the
+    # clean-probed measurements — a throttled run can only overstate.
     retried: dict[str, dict] = {}
     med = sorted(probes.values())[len(probes) // 2] if probes else 0.0
-    suspects = [n for n in HEADLINE if med > 0 and probes[n] > 2 * med]
+    outlier_sec = float(os.environ.get("SPARK_GRAFT_BENCH_OUTLIER_SEC", "15"))
+    suspects = [
+        n
+        for n in HEADLINE
+        if (med > 0 and probes[n] > 2 * med) or timings[n] > outlier_sec
+    ]
     retry_idle = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_IDLE", "45"))
     if suspects:
         time.sleep(retry_idle)
         for name in suspects:
             probe2, dt2 = _timed_run(name)
+            use = bool(probe2 <= 2 * med and dt2 < timings[name])
             retried[name] = {
                 "first_sec": timings[name],
                 "first_probe": probes[name],
                 "retry_sec": round(dt2, 3),
                 "retry_probe": probe2,
-                "retry_used": bool(probe2 <= 2 * med),
+                "retry_used": use,
             }
-            if probe2 <= 2 * med:  # clean retry replaces the dirty row
+            if use:  # clean, faster retry replaces the suspect row
                 timings[name] = round(dt2, 3)
                 probes[name] = probe2
 
