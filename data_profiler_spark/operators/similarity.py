@@ -623,12 +623,20 @@ def ivfpq_topk(
     )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     cvec = F.col("centroid_vec").cast("array<double>")
-    res = assigned.join(F.broadcast(cents), "centroid_id").select(
-        F.col(id_col),
-        F.col("centroid_id"),
-        F.zip_with(
-            F.col(vec_col).cast("array<double>"), cvec, lambda a, b: a - b
-        ).alias("__res"),
+    res = (
+        assigned.join(F.broadcast(cents), "centroid_id")
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"), cvec, lambda a, b: a - b
+            ).alias("__res"),
+        )
+        # materialize once: the residual-codebook collect AND the encode
+        # both consume res — without the cut the assign window + residual
+        # projection run twice (an index BUILD step; at scale the encoded
+        # table is persisted anyway, this is its staging form)
+        .localCheckpoint(eager=True)
     )
     # residual codebook: residuals of the n_codes lowest-id vectors —
     # tiny (n_codes x dim cells), collected and re-created like
