@@ -239,25 +239,52 @@ def ivf_assign(
     one pass, no shuffle).
 
     The argmax comparator is dot(v,c)/|c|, not full cosine: |v| is constant
-    within each vector's window, so dividing by it cannot change the
-    ordering — and skipping it (plus precomputing |c| on the C-row broadcast
-    side) removes two norm folds per (vector, centroid) pair from the hot
-    path."""
-    cents = centroids.withColumn("__cnorm", norm(F.col("centroid_vec")))
-    joined = corpus.crossJoin(F.broadcast(cents))
-    scored = joined.select(
-        F.col(id_col),
-        F.col(vec_col),
+    across one vector's candidates, so dividing by it cannot change the
+    ordering — and skipping it (plus precomputing |c| once per centroid on
+    the broadcast side) removes two norm folds per (vector, centroid) pair.
+
+    Plan shape (r7): the centroids collapse to ONE broadcast row — an array
+    of (vec, norm) structs ordered by centroid_id — and the argmax is
+    ``array_position(sims, array_max(sims)) - 1`` over a per-row sims
+    array. The r6 version crossJoined the C-row broadcast (materializing
+    N x C wide rows) and ranked them with ``row_number() over
+    (partitionBy(id))`` — a full shuffle + sort of the fanned-out corpus.
+    This form has NO exchange at all: first-match-on-max equals the old
+    (csim DESC, centroid_id ASC) tie-break, and each per-pair csim is the
+    identical double (same dot fold, same precomputed |c|), so the
+    assignment is bit-for-bit unchanged."""
+    crow = centroids.select(
         F.col("centroid_id"),
-        (
-            dot(F.col(vec_col), F.col("centroid_vec")) / F.col("__cnorm")
-        ).alias("csim"),
+        F.col("centroid_vec").cast("array<double>").alias("__cv"),
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("centroid_id", "__cv"))),
+            lambda s: F.struct(
+                s["centroid_id"].alias("cid"),
+                s["__cv"].alias("vec"),
+                norm(s["__cv"]).alias("nrm"),
+            ),
+        ).alias("__acb")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.col("centroid_id"))
+    # argmax folded into ONE array_max over (csim, -centroid_id) structs:
+    # struct comparison picks the greatest csim, then the greatest -cid =
+    # LOWEST centroid_id — exactly the old (csim DESC, centroid_id ASC)
+    # tie-break. Single reference to the sims transform, so CollapseProject
+    # cannot duplicate the C dot-folds (the HOF-CSE trap from dedup.py's
+    # shingle ladder).
+    best = F.array_max(
+        F.transform(
+            F.col("__acb"),
+            lambda s: F.struct(
+                (dot(F.col(vec_col), s["vec"]) / s["nrm"]).alias("csim"),
+                (-s["cid"]).alias("negcid"),
+            ),
+        )
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select(id_col, vec_col, "centroid_id")
+        corpus.crossJoin(F.broadcast(crow))
+        .where(F.size("__acb") > 0)  # empty centroid set -> empty result
+        .select(F.col(id_col), F.col(vec_col), (-best["negcid"]).alias("centroid_id"))
     )
 
 
@@ -463,6 +490,7 @@ def pq_encode(
     vec_col: str = "embedding",
     m: int = 8,
     keep_cols: list[str] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Product-quantization encoding: compress each vector to ``m`` small
     integer codes — subspace ``j``'s code is the codebook entry whose
@@ -476,21 +504,43 @@ def pq_encode(
     keeps the whole PQ pipeline oracle-replayable) or
     :func:`kmeans_refined_centroids` for better quantization error.
 
-    Plan: ONE corpus scan — the codebook rides in as a crossJoin of a
-    broadcast single row; per-subspace distances materialize as an array
-    (via ``transform``) so the argmin never re-evaluates them; zero
-    shuffle, zero UDF.
+    Plan: ONE corpus scan, no shuffle (r7): a narrow ``mapInPandas``
+    pass — the k x dim codebook rides in the task closure and each Arrow
+    batch is scored with vectorized numpy ops that replay the oracle's
+    arithmetic EXACTLY: per (subspace, entry) the squared-diff terms are
+    accumulated column-by-column in ascending index order (the same left
+    fold as ``_subdist``; numpy's own pairwise ``sum`` would associate
+    differently), ``d*d`` for ``pow(d, 2)`` (both are the correctly-
+    rounded square), and ``np.argmin`` takes the FIRST minimal entry like
+    ``array_position(ds, array_min(ds))``. Identical codes, ~10x less
+    per-row cost than the r6 interpreted HOF ladder and a much smaller
+    plan to compile; ``_pq_encode_expr`` keeps the pure-Column r6 form
+    as the reference (equality is pytest-asserted).
     """
-    dim = len(centroids.select("centroid_vec").first()[0])
+    if dim is None:
+        dim = len(centroids.select("centroid_vec").first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
+    return _pq_encode_numpy(corpus, centroids, id_col, vec_col, m, sub, keep_cols)
+
+
+def _pq_encode_expr(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    sub: int,
+    keep_cols: list[str] | None,
+) -> DataFrame:
+    """Pure-Column encode (the r6 plan shape): the m x k distance matrix
+    materializes once per row via nested ``transform`` lambdas (the
+    two-projection CSE shape), argmin = first ``array_position`` on the
+    ``array_min``. Kept as the reference implementation the numpy path is
+    asserted against."""
     v = F.col(vec_col).cast("array<double>")
     cb = F.col("__cb")
-    # two-projection shape (same CSE rule as dedup.py's shingle ladder):
-    # the m x k distance matrix materializes ONCE as a named column, so
-    # the argmin's two references (array_position + array_min) don't each
-    # re-evaluate m*k*sub pow terms
     dmat = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda j: F.transform(
@@ -516,6 +566,58 @@ def pq_encode(
     )
 
 
+def _pq_encode_numpy(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    sub: int,
+    keep_cols: list[str] | None,
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    keep = list(keep_cols or [])
+    crows = centroids.select("centroid_id", "centroid_vec").collect()
+    crows.sort(key=lambda r: r["centroid_id"])
+    CB = np.asarray([list(r["centroid_vec"]) for r in crows], dtype=np.float64)
+
+    src = corpus.select(F.col(id_col), *keep, F.col(vec_col))
+    in_schema = src.schema
+    out_fields = [
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in in_schema.fields
+        if f.name != vec_col
+    ]
+    out_schema = ", ".join(out_fields + ["codes array<int>"])
+
+    def encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
+            )
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                acc = None
+                for t in range(sub):
+                    i = j * sub + t
+                    d = X[:, i][:, None] - CB[None, :, i]  # (n, k)
+                    term = d * d  # == correctly-rounded pow(d, 2)
+                    acc = term if acc is None else acc + term
+                codes[:, j] = np.argmin(acc, axis=1)  # first-min tie-break
+            out = pdf[[c for c in pdf.columns if c != vec_col]].copy()
+            out["codes"] = list(codes)
+            yield out
+
+    out = src.mapInPandas(encode, out_schema)
+    out._pq_m = m  # read by pq_topk to skip its m-mismatch probe job
+    return out
+
+
 def pq_topk(
     encoded: DataFrame,
     centroids: DataFrame,
@@ -531,13 +633,15 @@ def pq_topk(
     the doc's full vector is never touched, only its ``m`` codes.
 
     Plan: queries broadcast against the encoded corpus (Q x N stays
-    row-local, no shuffle); per (query, doc) the distance folds over m
-    code lookups; top-k per query is a rank window that Spark rewrites
-    with WindowGroupLimit (map-side partial top-k). At real scale the
-    standard refinement — precompute each query's m x k distance TABLE
-    once instead of re-deriving terms per doc — is the same arithmetic
-    factored out; this form keeps the expression identical to the
-    oracle's replay.
+    row-local, no shuffle); top-k per query is a rank window that Spark
+    rewrites with WindowGroupLimit (map-side partial top-k). The standard
+    IVFADC refinement (Jégou §V): each query's m x k distance TABLE is
+    precomputed ONCE on the broadcast side — the same ``_subdist`` folds,
+    evaluated per QUERY instead of per (query, doc) pair — and the hot
+    loop scores a candidate with m array lookups. Every lookup returns
+    the identical double the r6 per-pair re-derivation produced (same
+    fold, same order), so the top-k is bit-for-bit unchanged; only the
+    per-pair cost drops from m x sub pow-folds to m element_ats.
     """
     dim = len(centroids.select("centroid_vec").first()[0])
     if dim % m:
@@ -545,24 +649,51 @@ def pq_topk(
     sub = dim // m
     # a wrong m vs the encode-time m reads past the codes array: under
     # non-ANSI element_at that is NULL, and NULL adist would rank FIRST
-    # (ASC NULLS FIRST) — garbage top-k with no error. One cheap probe.
-    probe = encoded.select("codes").first()
-    if probe is not None and probe[0] is not None and len(probe[0]) != m:
-        raise ValueError(
-            f"encoded codes have length {len(probe[0])} but m={m} — "
-            "encode and query must use the same m"
-        )
+    # (ASC NULLS FIRST) — garbage top-k with no error. When the frame
+    # came straight from pq_encode its m rides along as an attribute
+    # (zero cost); otherwise one cheap 1-row probe job.
+    enc_m = getattr(encoded, "_pq_m", None)
+    if enc_m is not None:
+        if enc_m != m:
+            raise ValueError(
+                f"encoded codes have length {enc_m} but m={m} — "
+                "encode and query must use the same m"
+            )
+    else:
+        probe = encoded.select("codes").first()
+        if probe is not None and probe[0] is not None and len(probe[0]) != m:
+            raise ValueError(
+                f"encoded codes have length {len(probe[0])} but m={m} — "
+                "encode and query must use the same m"
+            )
     qv = F.col(query_vec).cast("array<double>")
     cb = F.col("__cb")
-    adist = F.aggregate(
+    # ADC lookup table, built once per query at broadcast time:
+    # __lut[j][c] = ||q_j - codebook[c]_j||^2 (ascending-index fold, the
+    # exact expression the per-pair path evaluated)
+    lut = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.sequence(F.lit(0), F.size(cb) - 1),
+            lambda c: _subdist(qv, cb, j, c, sub),
+        ),
+    )
+    qlut = (
+        queries.select(query_id, query_vec)
+        .crossJoin(F.broadcast(_cb_row(centroids)))
+        .select(F.col(query_id), lut.alias("__lut"))
+    )
+    adist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
         F.lit(0.0),
         lambda acc, j: acc
-        + _subdist(qv, cb, j, F.element_at(F.col("codes"), (j + 1).cast("int")), sub),
+        + F.element_at(
+            F.element_at(F.col("__lut"), j.cast("int")),
+            (F.element_at(F.col("codes"), j.cast("int")) + 1).cast("int"),
+        ),
     )
     scored = (
-        encoded.crossJoin(F.broadcast(_cb_row(centroids)))
-        .crossJoin(F.broadcast(queries.select(query_id, query_vec)))
+        encoded.crossJoin(F.broadcast(qlut))
         .select(
             F.col(query_id),
             F.col(id_col),
@@ -609,45 +740,78 @@ def ivfpq_topk(
     ``kmeans_refined_centroids`` via ``coarse`` for better recall when
     replayability is not needed.
 
-    Plan: coarse assign is one broadcast pass (no shuffle); residuals and
-    codes are projections on top; the probe join is an equi-join on
+    Plan (r7): coarse assign is one broadcast pass (no shuffle); residuals
+    and codes are projections on top; the probe join is an equi-join on
     centroid_id (at scale: the encoded table is WRITTEN bucketed by
     centroid_id, making it a bucket-pruned scan); top-k per query is a
-    WindowGroupLimit rank.
+    WindowGroupLimit rank. The residual CODEBOOK — residuals of the
+    ``n_codes`` lowest-id vectors — is derived from ONE TakeOrdered
+    collect of those rows plus driver-side replication of the exact JVM
+    arithmetic (left-fold dot / norm, strict first-max assignment,
+    elementwise subtraction — every op the same IEEE-754 double op), so
+    the r6 staging chain (a localCheckpoint materialization of all
+    residuals + a second TakeOrdered over it) disappears: the whole
+    index build is one small collect, and residual+encode fuse into the
+    single search job.
     """
+    import math
+
     spark = corpus.sparkSession
-    cents = (
-        coarse
-        if coarse is not None
-        else kmeans_like_centroids(corpus, id_col, vec_col, n_coarse)
+    n_seed = max(n_coarse, n_codes)
+    seed_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(n_seed)
+        .collect()
+    )
+    seed_vecs = [[float(x) for x in r[1]] for r in seed_rows]
+    if coarse is not None:
+        cents = coarse
+        crows = cents.select("centroid_id", "centroid_vec").collect()
+        crows.sort(key=lambda r: r["centroid_id"])
+        cvecs = [[float(x) for x in r["centroid_vec"]] for r in crows]
+    else:
+        vec_type = corpus.schema[vec_col].dataType.simpleString()
+        cvecs = seed_vecs[:n_coarse]
+        cents = spark.createDataFrame(
+            list(enumerate(cvecs)), f"centroid_id int, centroid_vec {vec_type}"
+        )
+    # driver replica of ivf_assign for the n_codes seed rows: csim =
+    # leftfold-dot(v, c) / sqrt(leftfold(c*c)); strict > keeps the first
+    # (lowest-id) centroid on ties — identical doubles, identical argmax
+    cnorms = []
+    for cv in cvecs:
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        cnorms.append(math.sqrt(acc))
+    rcb_rows = []
+    for i, v in enumerate(seed_vecs[:n_codes]):
+        best_sim, best_c = None, 0
+        for ci, cv in enumerate(cvecs):
+            acc = 0.0
+            for a, b in zip(v, cv):
+                acc += a * b
+            sim = acc / cnorms[ci]
+            if best_sim is None or sim > best_sim:
+                best_sim, best_c = sim, ci
+        cv = cvecs[best_c]
+        rcb_rows.append((i, [a - b for a, b in zip(v, cv)]))
+    rcb = spark.createDataFrame(
+        rcb_rows, "centroid_id int, centroid_vec array<double>"
     )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     cvec = F.col("centroid_vec").cast("array<double>")
-    res = (
-        assigned.join(F.broadcast(cents), "centroid_id")
-        .select(
-            F.col(id_col),
-            F.col("centroid_id"),
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"), cvec, lambda a, b: a - b
-            ).alias("__res"),
-        )
-        # materialize once: the residual-codebook collect AND the encode
-        # both consume res — without the cut the assign window + residual
-        # projection run twice (an index BUILD step; at scale the encoded
-        # table is persisted anyway, this is its staging form)
-        .localCheckpoint(eager=True)
-    )
-    # residual codebook: residuals of the n_codes lowest-id vectors —
-    # tiny (n_codes x dim cells), collected and re-created like
-    # kmeans_like_centroids' driver path
-    rows = res.select(id_col, "__res").orderBy(F.col(id_col)).limit(n_codes).collect()
-    rcb = spark.createDataFrame(
-        [(i, list(r[1])) for i, r in enumerate(rows)],
-        "centroid_id int, centroid_vec array<double>",
+    res = assigned.join(F.broadcast(cents), "centroid_id").select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), cvec, lambda a, b: a - b
+        ).alias("__res"),
     )
     enc = pq_encode(
-        res, rcb, id_col, "__res", m=m, keep_cols=["centroid_id"]
+        res, rcb, id_col, "__res", m=m, keep_cols=["centroid_id"],
+        dim=len(rcb_rows[0][1]) if rcb_rows else None,
     )
     # nprobe nearest coarse lists per query (same dot/|c| comparator as
     # ivf_assign), then the query's residual AGAINST EACH probed centroid
@@ -667,23 +831,39 @@ def ivfpq_topk(
         .where(F.col("__rn") <= nprobe)
         .select(query_id, "centroid_id", "__qres")
     )
-    dim = len(rcb.select("centroid_vec").first()[0])
+    dim = len(rcb_rows[0][1])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     cb = F.col("__cb")
     qr = F.col("__qres")
-    adist = F.aggregate(
+    # ADC lookup table per (query, probed list), built once on the tiny
+    # broadcast side (Q x nprobe rows): __lut[j][c] = ||qres_j - rcb[c]_j||^2
+    # with the exact per-pair fold the r6 path evaluated per candidate —
+    # candidates then cost m array lookups instead of m x sub pow-folds,
+    # same doubles, same top-k.
+    lut = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.sequence(F.lit(0), F.size(cb) - 1),
+            lambda c: _subdist(qr, cb, j, c, sub),
+        ),
+    )
+    probes_lut = (
+        probes.crossJoin(F.broadcast(_cb_row(rcb)))
+        .select(F.col(query_id), F.col("centroid_id"), lut.alias("__lut"))
+    )
+    adist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
         F.lit(0.0),
         lambda acc, j: acc
-        + _subdist(
-            qr, cb, j, F.element_at(F.col("codes"), (j + 1).cast("int")), sub
+        + F.element_at(
+            F.element_at(F.col("__lut"), j.cast("int")),
+            (F.element_at(F.col("codes"), j.cast("int")) + 1).cast("int"),
         ),
     )
     scored = (
-        enc.join(F.broadcast(probes), "centroid_id")
-        .crossJoin(F.broadcast(_cb_row(rcb)))
+        enc.join(F.broadcast(probes_lut), "centroid_id")
         .select(F.col(query_id), F.col(id_col), F.round(adist, 6).alias("adist"))
     )
     w = Window.partitionBy(query_id).orderBy(

@@ -51,6 +51,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _DOCS_NEEDS_REPARTITION: dict[tuple, bool] = {}
 
 
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings table with the same defensive repartition as ``_docs``:
+    the fixture is a single row group, so every vector op (centroid
+    assignment folds, GEMM feed, PQ encode) would otherwise run its
+    compute as ONE task regardless of cores. Same probe-once logic,
+    keyed alongside the documents probe."""
+    d = _t(spark, sf_dir, "embeddings")
+    cores = spark.sparkContext.defaultParallelism
+    key = (id(spark), sf_dir, cores, "embeddings")
+    needs = _DOCS_NEEDS_REPARTITION.get(key)
+    if needs is None:
+        needs = d.rdd.getNumPartitions() < max(2, cores // 4)
+        _DOCS_NEEDS_REPARTITION[key] = needs
+    if needs:
+        d = d.repartition(cores)
+    return d
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table with a defensive repartition for CPU-heavy text ops.
 
@@ -948,8 +966,8 @@ SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 5
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.similarity import ann_topk_bruteforce
 
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 5).select(
+    e = _embs(spark, sf_dir)
+    q = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann_topk_bruteforce(e, q, "vec_id", "embedding", "query_id", k=5)
@@ -992,7 +1010,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair scoring is one numpy GEMM per bucket (VERDICT r2 #2)."""
     from data_profiler_spark.operators.similarity import embedding_near_dup_pairs
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _embs(spark, sf_dir)
     return embedding_near_dup_pairs(
         e, "vec_id", "embedding", threshold=0.3, target_bucket=500
     )
@@ -1034,8 +1052,8 @@ SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 5
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.similarity import ann_topk_ivf
 
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 5).select(
+    e = _embs(spark, sf_dir)
+    q = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann_topk_ivf(e, q, "vec_id", "embedding", "query_id", k=5,
@@ -1115,12 +1133,12 @@ def q_embedding_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_refined_centroids,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _embs(spark, sf_dir)
     cents = kmeans_refined_centroids(
         e, "vec_id", "embedding", n_centroids=8, iters=2
     )
     cents.write.mode("overwrite").parquet(_ivf_fixture_path(sf_dir))
-    q = e.where(F.col("vec_id") < 5).select(
+    q = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann_topk_ivf(e, q, "vec_id", "embedding", "query_id", k=5,
@@ -2141,7 +2159,7 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_spark.operators.dedup import connected_components
     from data_profiler_spark.operators.similarity import embedding_near_dup_pairs
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _embs(spark, sf_dir)
     pairs = embedding_near_dup_pairs(
         e, "vec_id", "embedding", threshold=0.3, target_bucket=500
     )
@@ -3495,8 +3513,7 @@ def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encode is CPU-bound per row (m x k x sub HOF evals) and the fixture
     # is a single row group -> one task; spread it like _docs does for text
     enc = pq_encode(
-        e.repartition(spark.sparkContext.defaultParallelism),
-        cents, "vec_id", "embedding", m=8,
+        _embs(spark, sf_dir), cents, "vec_id", "embedding", m=8,
     )
     queries = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -3668,7 +3685,7 @@ def q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return ivfpq_topk(
-        e.repartition(spark.sparkContext.defaultParallelism),
+        _embs(spark, sf_dir),
         queries, "vec_id", "embedding", "query_id", "qvec",
         n_coarse=4, nprobe=2, m=8, n_codes=16, k_top=5,
     )

@@ -1085,3 +1085,28 @@ def test_streaming_drift_parity_with_batch_property(spark):
         assert abs(krow["ks_stat"] - kbatch.details["ks_d"]) < 1e-9, (
             f"ks D mismatch seed={seed}"
         )
+
+
+def test_pq_encode_numpy_matches_expr(vectors):
+    """r7: the vectorized mapInPandas encode must reproduce the pure-Column
+    r6 encode bit-for-bit — same left-fold accumulation order, pow(d,2) ==
+    d*d, first-min argmin tie-break."""
+    from data_profiler_spark.operators.similarity import (
+        _pq_encode_expr,
+        kmeans_like_centroids,
+        pq_encode,
+    )
+
+    df, _ = vectors
+    cents = kmeans_like_centroids(df, "vec_id", "embedding", 4, dim=8)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(df, cents, "vec_id", "embedding", m=4).collect()
+    }
+    ref = {
+        r["vec_id"]: list(r["codes"])
+        for r in _pq_encode_expr(
+            df, cents, "vec_id", "embedding", 4, 2, None
+        ).collect()
+    }
+    assert got == ref and len(got) == 40
