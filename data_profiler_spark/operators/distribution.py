@@ -537,21 +537,26 @@ def ks_test_parameterized(
                 if len(pdf) == 0:
                     continue
                 pid = int(pdf["__pid"].iloc[0])
-                if group_by:
-                    gvals = list(zip(*[pdf[k] for k in group_by]))
-                else:
-                    gvals = [()] * len(pdf)
                 x = pdf["__v"].to_numpy(dtype=float)
                 fx = np.asarray(cdf(x), dtype=float)
-                # segment the batch by group key (sorted -> contiguous)
-                start = 0
-                while start < len(pdf):
-                    g = tuple(_norm(v) for v in gvals[start]) if group_by else ()
-                    end = start
-                    while end < len(pdf) and (
-                        (tuple(_norm(v) for v in gvals[end]) if group_by else ()) == g
-                    ):
-                        end += 1
+                # segment the batch by group key (sorted -> contiguous).
+                # Ungrouped: the batch IS one segment — no per-row Python
+                # (r7: the old per-row while loop cost ~1 Python compare
+                # per value, the dominant term of the whole KS at sf1.0).
+                if group_by:
+                    keys = [
+                        tuple(_norm(v) for v in t)
+                        for t in zip(*[pdf[k] for k in group_by])
+                    ]
+                    segs = []
+                    s0 = 0
+                    for idx in range(1, len(keys) + 1):
+                        if idx == len(keys) or keys[idx] != keys[s0]:
+                            segs.append((s0, idx, keys[s0]))
+                            s0 = idx
+                else:
+                    segs = [(0, len(pdf), ())]
+                for start, end, g in segs:
                     n = n_by_group.get(g, 0)
                     if n > 0:
                         base = counters.get(g, offsets.get((g, pid), 0))
@@ -563,7 +568,6 @@ def ks_test_parameterized(
                         )
                         best[g] = max(best.get(g, 0.0), d_seg)
                         counters[g] = base + (end - start)
-                    start = end
             rows = [
                 (list(g) + [d]) if group_by else [d] for g, d in best.items()
             ]
@@ -666,42 +670,43 @@ def sparse_chi2_cramers(
     per group. Returns {group_key: {"v", "chi2", "n", "ka", "kb"}} with
     ka/kb = observed category counts (the numpy oracle's table shape)."""
     gb = list(group_by or [])
-    # `cells` feeds 4 consumers (ra / cb / tot / the join) inside ONE
-    # query: Catalyst's ReusedExchange computes its shuffle once and reads
-    # it four times (verified: 3 ReusedExchange nodes in the plan). An
-    # explicit persist here was measured STRICTLY WORSE (extra
-    # materialization job + InMemoryRelation blocking exchange reuse:
-    # 13.4s -> 6.7s cold, 1.5s -> 0.17s warm at sf0.1).
+    # Algebra (r7 regrouping): expanding (o-e)^2/e - e = o^2/e - 2o and
+    # summing over cells gives  chi2 = n * SUM(o^2 / (ra * cb)) - n, and
+    # the cell sum regroups as  SUM over a of (SUM over b of o^2/cb) / ra.
+    # That turns the r6 plan (cells joined against BOTH marginals plus a
+    # total, then a countDistinct x2 Expand over the joined cells) into:
+    # one join of cells against the small b-marginal, a per-a partial
+    # aggregation (which yields ra for free and ka as its row count), and
+    # a scalar reduce. Two fewer passes over the cell set and no Expand;
+    # the per-term FP differs only in association order, which the
+    # consumers' rounding (chi2 to 2 dp, v to 6 dp) absorbs exactly like
+    # the already-unordered distributed SUM did.
     cells = (
         frame.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
         .groupBy(*gb, a_col, b_col)
         .agg(F.count(F.lit(1)).alias("__o"))
     )
-    ra = cells.groupBy(*gb, a_col).agg(F.sum("__o").alias("__ra"))
     cb = cells.groupBy(*gb, b_col).agg(F.sum("__o").alias("__cb"))
-    tot = cells.groupBy(*gb).agg(F.sum("__o").alias("__n"))
-    j = cells.join(ra, gb + [a_col]).join(cb, gb + [b_col])
-    j = j.join(tot, gb) if gb else j.crossJoin(tot)
-    e = F.col("__ra") * F.col("__cb") / F.col("__n")
-    term = (F.col("__o") - e) ** 2 / e - e
-    per_group = (
-        j.groupBy(*gb)
-        .agg(
-            F.max("__n").alias("n"),
-            F.sum(term).alias("s"),
-            F.countDistinct(F.col(a_col)).alias("ka"),
-            F.countDistinct(F.col(b_col)).alias("kb"),
-        )
-        .collect()
+    j = cells.join(cb, gb + [b_col])
+    per_a = j.groupBy(*gb, a_col).agg(
+        F.sum("__o").alias("__ra"),
+        F.sum(F.col("__o") * F.col("__o") / F.col("__cb")).alias("__s"),
     )
+    per_group = per_a.groupBy(*gb).agg(
+        F.sum("__ra").alias("n"),
+        F.sum(F.col("__s") / F.col("__ra")).alias("S"),
+        F.count(F.lit(1)).alias("ka"),
+    )
+    kb = cb.groupBy(*gb).agg(F.count(F.lit(1)).alias("kb"))
+    joined = per_group.join(kb, gb) if gb else per_group.crossJoin(kb)
     out: dict[tuple, dict[str, float]] = {}
-    for r in per_group:
+    for r in joined.collect():
         g = tuple(r[k] for k in gb) if gb else ()
-        n, ka, kb = float(r["n"]), int(r["ka"]), int(r["kb"])
-        chi2 = max(n + float(r["s"]), 0.0)
-        k = min(ka, kb) - 1
+        n, ka, kbv = float(r["n"]), int(r["ka"]), int(r["kb"])
+        chi2 = max(n * float(r["S"]) - n, 0.0)
+        k = min(ka, kbv) - 1
         v = min(max((chi2 / n / k) ** 0.5, 0.0), 1.0) if (k > 0 and n > 0) else 0.0
-        out[g] = {"v": v, "chi2": chi2, "n": n, "ka": ka, "kb": kb}
+        out[g] = {"v": v, "chi2": chi2, "n": n, "ka": ka, "kb": kbv}
     return out
 
 

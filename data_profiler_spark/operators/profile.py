@@ -163,7 +163,10 @@ def profile(
     (pipeline parallelism; the constraint pass in the north-rule job)."""
     group_by = list(group_by or [])
     columns = list(columns or [c for c in df.columns if c not in group_by])
-    qs = list(quantiles or DEFAULT_QUANTILES)
+    # an explicit empty list opts OUT of the quantile sketch entirely (the
+    # percentile_approx terms are the most expensive pass-1 aggregates;
+    # callers that only need count/null/distinct/moments skip them)
+    qs = list(DEFAULT_QUANTILES if quantiles is None else quantiles)
     categorical_columns = list(categorical_columns or [])
 
     # Project derived numeric views ONCE. Catalyst does not reliably
@@ -205,18 +208,22 @@ def profile(
         )
         num_d = _num(c)
         if num_d is not None:
-            for stat, expr in [
+            stat_exprs = [
                 ("min", F.min(num_d)),
                 ("max", F.max(num_d)),
                 ("mean", F.mean(num_d)),
                 ("stddev", F.stddev_samp(num_d)),
-                (
-                    "quantiles",
-                    F.percentile_approx(
-                        num_d, F.array(*[F.lit(q) for q in qs]), F.lit(quantile_accuracy)
-                    ),
-                ),
-            ]:
+            ]
+            if qs:
+                stat_exprs.append(
+                    (
+                        "quantiles",
+                        F.percentile_approx(
+                            num_d, F.array(*[F.lit(q) for q in qs]), F.lit(quantile_accuracy)
+                        ),
+                    )
+                )
+            for stat, expr in stat_exprs:
                 a = metric_alias(f"column.{stat}", column=c, q=qs if stat == "quantiles" else None)
                 aliases[(c, stat)] = a
                 terms.append(AggTerm(a, expr))
@@ -287,9 +294,10 @@ def profile(
                 cp.max_v = metrics.get(aliases[(c, "max")])
                 cp.mean_v = metrics.get(aliases[(c, "mean")])
                 cp.stddev_v = metrics.get(aliases[(c, "stddev")])
-                qv = metrics.get(aliases[(c, "quantiles")])
-                cp.quantiles = [float(x) for x in qv] if qv is not None else None
-                cp.quantile_qs = qs
+                if qs:
+                    qv = metrics.get(aliases[(c, "quantiles")])
+                    cp.quantiles = [float(x) for x in qv] if qv is not None else None
+                    cp.quantile_qs = qs
             tp.columns[c] = cp
         profiles[key] = tp
 

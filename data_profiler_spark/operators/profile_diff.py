@@ -101,7 +101,23 @@ class ProfileStore:
         snapshot_id: str = "",
         mode: str = "append",
     ) -> None:
-        rows = profiles_to_rows(profiles, run_id, suite_id, snapshot_id)
+        self.append_runs([(profiles, run_id)], suite_id, snapshot_id, mode)
+
+    def append_runs(
+        self,
+        runs: list[tuple[list[TableProfile], str]],
+        suite_id: str,
+        snapshot_id: str = "",
+        mode: str = "append",
+    ) -> None:
+        """Persist several runs' profiles in ONE write job (r7: the drift
+        query's baseline+current pair previously paid two ~0.5 s write
+        jobs for a handful of rows each)."""
+        rows = [
+            r
+            for profiles, run_id in runs
+            for r in profiles_to_rows(profiles, run_id, suite_id, snapshot_id)
+        ]
         df = self.spark.createDataFrame(
             [tuple(r.get(f.name) for f in PROFILE_SCHEMA.fields) for r in rows],
             PROFILE_SCHEMA,
@@ -116,10 +132,24 @@ class ProfileStore:
     def run_rows(self, run_id: str, suite_id: str | None = None) -> list[dict]:
         """One run's sketch rows, collected — bounded by columns x groups
         (the same driver-boundedness contract as the fused-pass results)."""
-        df = self.read().where(f"run_id = '{run_id}'")
+        return self.runs_rows([run_id], suite_id)[run_id]
+
+    def runs_rows(
+        self, run_ids: list[str], suite_id: str | None = None
+    ) -> dict[str, list[dict]]:
+        """Several runs' sketch rows in ONE collect job, keyed by run_id.
+        Column-expression filters (not string SQL) so a quote in an id
+        cannot break the predicate (ADVICE r6)."""
+        from pyspark.sql import functions as F
+
+        df = self.read().where(F.col("run_id").isin(list(run_ids)))
         if suite_id is not None:
-            df = df.where(f"suite_id = '{suite_id}'")
-        return [r.asDict(recursive=True) for r in df.collect()]
+            df = df.where(F.col("suite_id") == suite_id)
+        out: dict[str, list[dict]] = {rid: [] for rid in run_ids}
+        for r in df.collect():
+            d = r.asDict(recursive=True)
+            out[d["run_id"]].append(d)
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -236,11 +266,11 @@ def compare_profile_runs(
     suite_id: str | None = None,
     alpha: float = 0.05,
 ) -> DataFrame:
-    """Store-level entry point: load both runs' sketch rows, compare, and
-    return the verdicts as a DataFrame (joinable / storable / gateable)."""
-    rows = profile_compare(
-        store.run_rows(run_a, suite_id), store.run_rows(run_b, suite_id), alpha
-    )
+    """Store-level entry point: load both runs' sketch rows (one collect
+    job for the pair), compare, and return the verdicts as a DataFrame
+    (joinable / storable / gateable)."""
+    by_run = store.runs_rows([run_a, run_b], suite_id)
+    rows = profile_compare(by_run[run_a], by_run[run_b], alpha)
     return store.spark.createDataFrame(
         [
             (

@@ -5,18 +5,16 @@ The reference computes row-level uniqueness with
 ``count(1).over(Window.partitionBy(column)) <= 1``
 (column_values_unique.py:81-86; compound_columns_unique.py:31-36). On a
 skewed key that window puts EVERY row of the hot value into one task — the
-canonical 100-TB OOM. We instead use an explicit two-stage salted count:
-
-  stage 1: groupBy(key..., salt = spark_partition_id()) -> partial counts
-  stage 2: groupBy(key...) -> sum(partial)              -> dup keys (n > 1)
-
-Stage 1 bounds any single group's rows per task to what one input partition
-holds; stage 2 aggregates tiny partial rows. (This makes the map-side
-combine EXPLICIT — hash-agg partial aggregation does the same when it can,
-but degrades to sort-based spill on high-cardinality skew; the salt keeps
-the contract deterministic.) Violation attribution joins the dup keys back —
-a broadcast join when the dup-key set is small, which it is in any passing
-or near-passing run.
+canonical 100-TB OOM. We instead use a plain count aggregation, whose
+MAP-SIDE PARTIAL AGG gives the same skew bound for free: a hot key
+contributes at most one partial row per input partition, and the reduce
+side merges P longs, never the raw rows. (r7: the earlier explicit
+spark_partition_id() salt re-stated that bound while paying a second full
+exchange over the partial rows — see duplicate_key_counts. An explicit
+salt stays necessary only for aggregates with no map-side combiner, e.g.
+collect_list.) Violation attribution joins the dup keys back — a broadcast
+join when the dup-key set is small, which it is in any passing or
+near-passing run.
 """
 
 from __future__ import annotations
@@ -35,16 +33,20 @@ from data_profiler_spark.plans.fused import AggTerm, CompiledConstraint, metric_
 def duplicate_key_counts(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Keys occurring more than once, with their total row counts.
 
-    Two-stage salted aggregation (see module docstring)."""
-    partial = (
-        df.select(*key_cols)
-        .withColumn("__salt", F.spark_partition_id())
-        .groupBy(*key_cols, "__salt")
-        .agg(F.count(F.lit(1)).alias("__partial"))
-    )
+    ONE groupBy (r7): for a COUNT aggregate, Spark's map-side partial
+    aggregation already emits at most one row per (key, input partition)
+    before the exchange — exactly the bound the r6 explicit
+    ``spark_partition_id()`` salt provided, which therefore only added a
+    second full exchange over the partial rows (the salted stage-1 output
+    had to be shuffled on (key, salt) even though every such group lives
+    entirely in one map partition). A hot key still costs one partial row
+    per partition; the reduce side merges P small longs, never the raw
+    rows. The salt remains the right tool for aggregates WITHOUT a
+    map-side combiner (collect_list and friends), not for counts."""
     return (
-        partial.groupBy(*key_cols)
-        .agg(F.sum("__partial").alias("key_count"))
+        df.select(*key_cols)
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("key_count"))
         .where(F.col("key_count") > 1)
     )
 

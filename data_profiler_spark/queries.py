@@ -270,16 +270,15 @@ SELECT cnt AS key_count, COUNT(*) AS n_keys FROM (
 """,
 )
 def q_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uniqueness-check shape: distribution of key multiplicities via the
-    engine's salted two-stage groupBy (uniqueness.py)."""
+    """Uniqueness-check shape: distribution of key multiplicities
+    (uniqueness.py). One exchange: the map-side partial count bounds a
+    hot key to one partial row per input partition — the r6 explicit
+    spark_partition_id() salt duplicated that bound at the price of a
+    second full exchange (see duplicate_key_counts' docstring)."""
     li = _t(spark, sf_dir, "lineitem")
-    partial = (
-        li.select("l_orderkey")
-        .withColumn("__salt", F.spark_partition_id())
-        .groupBy("l_orderkey", "__salt")
-        .agg(F.count(F.lit(1)).alias("p"))
+    per_key = li.select("l_orderkey").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("key_count")
     )
-    per_key = partial.groupBy("l_orderkey").agg(F.sum("p").alias("key_count"))
     return per_key.groupBy("key_count").agg(F.count(F.lit(1)).alias("n_keys"))
 
 
@@ -2693,15 +2692,23 @@ def q_profile_drift_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         categorical_columns=["event_type"],
         top_k=8,
         approx_distinct=False,
+        # the kept verdicts are chi2_topk / null_fraction / distinct_delta /
+        # mean_shift — the quantile sketch and histogram pass would be
+        # computed, stored, and never read (ks_hist is filtered out below),
+        # so both are skipped (r7; the oracle recomputes from raw halves
+        # and does not touch the store)
+        quantiles=[],
+        hist_bins=0,
     )
     by_half = {tp.group["__half"]: tp for tp in tps}
     pa = [TableProfile(group={}, columns=by_half[0].columns)]
     pb = [TableProfile(group={}, columns=by_half[1].columns)]
 
     store = ProfileStore(spark, _profile_store_path(sf_dir))
-    # one overwrite + one append per query run: re-runs replace the pair
-    store.append_profiles(pa, "run_a", "events_halves", mode="overwrite")
-    store.append_profiles(pb, "run_b", "events_halves", mode="append")
+    # ONE overwrite write for the pair per query run: re-runs replace it
+    store.append_runs(
+        [(pa, "run_a"), (pb, "run_b")], "events_halves", mode="overwrite"
+    )
 
     verdicts = compare_profile_runs(store, "run_a", "run_b")
     keep = {"chi2_topk", "null_fraction", "distinct_delta", "mean_shift"}
