@@ -452,12 +452,23 @@ def ks_test_parameterized(
     params,
     group_by: list[str] | None = None,
     partitions: int | None = None,
+    max_driver_values: int = 100_000,
 ) -> dict[tuple, tuple[float, float, int]]:
     """EXACT one-sample Kolmogorov-Smirnov test against a parameterized CDF,
     computed DISTRIBUTED (the reference defers to pandas scipy.kstest on a
     driver-collected column, column_parameterized_distribution_ks_test_p_value.py:43-64).
 
-    Plan (scales to any N — no driver collect of values):
+    Low-cardinality fast path (r7): D only changes at DISTINCT values —
+    for a tie block of size k ending at global rank i at value x, the two
+    candidates are i/n - F(x) and F(x) - (i-k)/n, exactly what the
+    sorted per-occurrence scan reduces to over the block. So when an HLL
+    probe estimates (groups x distinct values) under ``max_driver_values``
+    the whole test is ONE map-side-combined ``groupBy(value).count()``
+    (shuffle ∝ distinct values) plus driver math over the collected
+    counts — no range sort, no persist, no Python scan. Discretized
+    measures (integer-grid quantities, ratings, bucketed scores) hit this
+    path at ANY corpus size; genuinely continuous columns fall through to
+    the distributed plan:
       1. project the (group, value) column, range-partition BY (group,
          value) and sort within partitions — Spark's distributed sort;
          equal keys land in one partition, so tie blocks never split;
@@ -495,6 +506,40 @@ def ks_test_parameterized(
     vals = df.select(
         *[F.col(k) for k in group_by], c.alias("__v")
     ).where(c.isNotNull() & ~F.isnan(c))
+
+    if max_driver_values > 0:
+        est = vals.agg(
+            F.approx_count_distinct(
+                F.struct(*[F.col(k) for k in group_by], F.col("__v"))
+            ).alias("nd")
+        ).first()["nd"]
+        if est is not None and est * 1.05 <= max_driver_values:
+            import numpy as np
+
+            counted = (
+                vals.groupBy(*group_by, "__v")
+                .agg(F.count(F.lit(1)).alias("__k"))
+                .collect()
+            )
+            by_group: dict[tuple, list[tuple[float, int]]] = {}
+            for r in counted:
+                g = tuple(_norm(r[k]) for k in group_by) if group_by else ()
+                by_group.setdefault(g, []).append((float(r["__v"]), int(r["__k"])))
+            result: dict[tuple, tuple[float, float, int]] = {}
+            for g, pairs in by_group.items():
+                pairs.sort()
+                xs = np.asarray([p[0] for p in pairs], dtype=float)
+                ks = np.asarray([p[1] for p in pairs], dtype=float)
+                n = int(ks.sum())
+                hi = np.cumsum(ks)  # rank of each block's LAST occurrence
+                lo = hi - ks  # rank before the block's first occurrence
+                fx = np.asarray(cdf(xs), dtype=float)
+                d = max(
+                    float(np.max(hi / n - fx)), float(np.max(fx - lo / n))
+                )
+                result[g] = (d, stats.ks_1samp_p(d, n), n)
+            return result
+
     P = partitions or df.sparkSession.sparkContext.defaultParallelism
     parts = (
         vals.repartitionByRange(P, *(group_by + ["__v"]))

@@ -317,6 +317,22 @@ def select_top_fraction(
     else:
         import math
 
+        # misuse guard (r7, VERDICT r6 nit #3): the exact path's global
+        # window runs over DISTINCT scores — fine for integer-ish scores,
+        # a single-task funnel of ~n rows for a continuous column. Probe
+        # the distinct count and refuse loudly instead of silently
+        # serializing; the probe is one narrow HLL agg on the already-
+        # expensive exact path only.
+        est = scored.agg(
+            F.approx_count_distinct(F.col(score_col)).alias("nd")
+        ).first()["nd"]
+        if est is not None and est > 1_000_000:
+            raise ValueError(
+                f"select_top_fraction(approx=False) would run a global "
+                f"window over ~{int(est):,} distinct scores (single-task "
+                "funnel); use approx=True (the scale path) or bucket the "
+                "scores first"
+            )
         # count SCORABLE rows only: a mostly-NULL column would otherwise
         # inflate k past the scorable population, land the threshold on
         # the NULL group, and return the corpus unfiltered
@@ -373,6 +389,12 @@ def upsample_by_fractions(
             raise ValueError(f"fraction for {k!r} must be >= 0, got {f}")
         bases[k] = int(f)
         thrs[k] = int((f - int(f)) * buckets)
+    if default_fraction < 0:
+        # mirror the per-group check (ADVICE r6): a negative default would
+        # silently emit 0 copies and drop every default-group row
+        raise ValueError(
+            f"default_fraction must be >= 0, got {default_fraction}"
+        )
     d_base, d_thr = int(default_fraction), int(
         (default_fraction - int(default_fraction)) * buckets
     )

@@ -39,9 +39,13 @@ def c_referential(constraint: Constraint, df: DataFrame, ctx: dict) -> CompiledC
     do_broadcast = bool(kw.get("broadcast", True))
     mostly = float(kw.get("mostly", 1.0))
 
+    # no dropDuplicates (r7): LEFT ANTI is duplicate-insensitive on the
+    # build side — the dedup was a full shuffle of every dim key for
+    # nothing (a broadcast hash relation dedups by construction, and a
+    # sort-merge anti join stops at the first match per key)
     dim = other.select(
         *[F.col(o).alias(k) for o, k in zip(other_cols, key_cols)]
-    ).dropDuplicates(key_cols)
+    )
     if do_broadcast:
         dim = F.broadcast(dim)
 

@@ -656,17 +656,22 @@ def dup_spans(
 
     Pipeline (all native Column ops):
     1. explode (position, md5(window)) pairs — one corpus tokenization;
-    2. ONE shuffle on the window hash computes both the corpus-wide
-       occurrence count and the keep-first rank (count + row_number over
-       the same partition spec); an occurrence is removable iff the hash
-       occurs more than once AND it is not the (doc_id, position)-first;
+    2. duplicated hashes and their keep-first occurrence come from ONE
+       map-side-combinable ``groupBy(ph).agg(count, min(struct(id,
+       pos)))`` (r7; the r6 count+row_number window over partitionBy(ph)
+       funneled EVERY occurrence of a hot boilerplate window — 10^8+ at
+       100 TB — through a single reducer task). Occurrences join back
+       against the dup-hash table (inner join keyed on ph; the non-dup
+       majority drops out of the join) and an occurrence is removable
+       iff its (doc_id, pos) differs from the group's min-struct first;
     3. per-doc gaps-and-islands (window over (doc, position) — bounded
        by doc length, skew-free) merges overlapping removable windows
        into maximal spans.
 
-    Shuffles ∝ number of windows; nothing all-pairs, nothing driver-side.
-    1-based token positions. Output: id_col + (span_start, span_end,
-    n_windows) — one row per maximal removable span."""
+    Shuffles ∝ number of windows, skew bounded by the partial agg;
+    nothing all-pairs, nothing driver-side. 1-based token positions.
+    Output: id_col + (span_start, span_end, n_windows) — one row per
+    maximal removable span."""
     from pyspark.sql import Window
 
     toks = F.split(F.trim(F.col(text_col)), TOKEN_PATTERN)
@@ -682,18 +687,19 @@ def dup_spans(
             )
         ).alias("__p0", "ph"),
     ).select(id_col, (F.col("__p0") + 1).alias("pos"), "ph")
-    by_hash = Window.partitionBy("ph")
-    removable = (
-        wins.select(
-            id_col,
-            "pos",
-            F.count(F.lit(1)).over(by_hash).alias("__c"),
-            F.row_number()
-            .over(by_hash.orderBy(id_col, "pos"))
-            .alias("__rn"),
+    dup_first = (
+        wins.groupBy("ph")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
         )
-        .where((F.col("__c") > 1) & (F.col("__rn") > 1))
-        .drop("__c", "__rn")
+        .where(F.col("__c") > 1)
+        .select("ph", "__first")
+    )
+    removable = (
+        wins.join(dup_first, on="ph")
+        .where(F.struct(F.col(id_col), F.col("pos")) != F.col("__first"))
+        .select(id_col, "pos")
     )
     by_doc = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + window - 1).over(

@@ -297,10 +297,14 @@ def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("l_orderkey"))
     ev = _t(spark, sf_dir, "events")
     cu = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
-    a = li.join(F.broadcast(o.dropDuplicates()), "l_orderkey", "left_anti").agg(
+    # no dropDuplicates before the broadcast (r7): LEFT ANTI semantics are
+    # duplicate-insensitive on the build side, so the dedup was a full
+    # shuffle of every key for nothing — the broadcast hash set dedups by
+    # construction
+    a = li.join(F.broadcast(o), "l_orderkey", "left_anti").agg(
         F.count(F.lit(1)).alias("lineitem_orphans")
     )
-    b = ev.join(F.broadcast(cu.dropDuplicates()), "user_id", "left_anti").agg(
+    b = ev.join(F.broadcast(cu), "user_id", "left_anti").agg(
         F.count(F.lit(1)).alias("event_orphans")
     )
     return a.crossJoin(b)

@@ -74,7 +74,10 @@ class Validator:
         if isinstance(v, int) and abs(v) <= 2**53:
             return float(v)
         if isinstance(v, dict):
-            return {str(k): Validator._cache_norm(x) for k, x in v.items()}
+            # keep the key's type in the normalized form: {1: x} and
+            # {"1": x} are semantically distinct parameter dicts and must
+            # not share a compiled plan (ADVICE r6)
+            return {repr(k): Validator._cache_norm(x) for k, x in v.items()}
         if isinstance(v, (list, tuple)):
             return [Validator._cache_norm(x) for x in v]
         return v

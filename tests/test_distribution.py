@@ -330,3 +330,37 @@ def test_bootstrapped_ks_seeded_resampling(spark):
         p=0.05, bootstrap_samples=100,
     )
     assert r_inf.success is False and "finite" in (r_inf.exception_info or "")
+
+
+def test_parameterized_ks_fast_path_matches_sort_path(spark):
+    """r7: the low-cardinality value-counts fast path must produce the
+    exact D/p/n of the distributed sort path (tie-block algebra), grouped
+    and ungrouped."""
+    import numpy as np
+
+    from data_profiler_spark.operators.distribution import ks_test_parameterized
+
+    rng = np.random.default_rng(11)
+    # integer-grid values with heavy ties, two groups
+    rows = [
+        (("a" if i % 2 else "b"), float(rng.integers(0, 25)))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    fast = ks_test_parameterized(
+        df, "v", "uniform", {"min": 0.0, "max": 24.0}, group_by=["g"]
+    )
+    slow = ks_test_parameterized(
+        df, "v", "uniform", {"min": 0.0, "max": 24.0}, group_by=["g"],
+        max_driver_values=0,
+    )
+    assert set(fast) == set(slow) == {("a",), ("b",)}
+    for g in fast:
+        assert fast[g][0] == slow[g][0]  # D exact
+        assert fast[g][1] == pytest.approx(slow[g][1], abs=1e-15)
+        assert fast[g][2] == slow[g][2]
+    ung_fast = ks_test_parameterized(df, "v", "uniform", {"min": 0.0, "max": 24.0})
+    ung_slow = ks_test_parameterized(
+        df, "v", "uniform", {"min": 0.0, "max": 24.0}, max_driver_values=0
+    )
+    assert ung_fast[()][0] == ung_slow[()][0]

