@@ -51,21 +51,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _DOCS_NEEDS_REPARTITION: dict[tuple, bool] = {}
 
 
+def _split_probe(spark: SparkSession, sf_dir: str, name: str, d: DataFrame) -> bool:
+    """True when the table's scan would yield fewer row-bearing splits
+    than cores/4 (a parquet file written as ONE row group cannot be
+    split). r7: reads the parquet footers directly (milliseconds) instead
+    of the old ``df.rdd.getNumPartitions()`` probe, which forced a full
+    analysis + RDD DAG build (~1 s of driver time charged to the first
+    text/embedding query of a session). Falls back to the RDD probe for
+    non-local paths; either answer is cached per (session, path)."""
+    cores = spark.sparkContext.defaultParallelism
+    key = (id(spark), sf_dir, cores, name)
+    needs = _DOCS_NEEDS_REPARTITION.get(key)
+    if needs is None:
+        try:
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            path = f"{sf_dir}/{name}.parquet"
+            files = _glob.glob(f"{path}/*.parquet") or [path]
+            splits = sum(_pq.ParquetFile(f).metadata.num_row_groups for f in files)
+        except Exception:
+            splits = d.rdd.getNumPartitions()
+        needs = splits < max(2, cores // 4)
+        _DOCS_NEEDS_REPARTITION[key] = needs
+    return needs
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings table with the same defensive repartition as ``_docs``:
     the fixture is a single row group, so every vector op (centroid
     assignment folds, GEMM feed, PQ encode) would otherwise run its
-    compute as ONE task regardless of cores. Same probe-once logic,
-    keyed alongside the documents probe."""
+    compute as ONE task regardless of cores."""
     d = _t(spark, sf_dir, "embeddings")
-    cores = spark.sparkContext.defaultParallelism
-    key = (id(spark), sf_dir, cores, "embeddings")
-    needs = _DOCS_NEEDS_REPARTITION.get(key)
-    if needs is None:
-        needs = d.rdd.getNumPartitions() < max(2, cores // 4)
-        _DOCS_NEEDS_REPARTITION[key] = needs
-    if needs:
-        d = d.repartition(cores)
+    if _split_probe(spark, sf_dir, "embeddings", d):
+        d = d.repartition(spark.sparkContext.defaultParallelism)
     return d
 
 
@@ -81,17 +101,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     that process the text column (for column-pruned light queries a
     repartition would force-read the text bytes)."""
     d = _t(spark, sf_dir, "documents")
-    cores = spark.sparkContext.defaultParallelism
-    key = (id(spark), sf_dir, cores)
-    needs = _DOCS_NEEDS_REPARTITION.get(key)
-    if needs is None:
-        # .rdd forces full analysis + RDD DAG build (~1s of driver time);
-        # the answer is a property of the fixture file, so probe once per
-        # (session, path) instead of once per query
-        needs = d.rdd.getNumPartitions() < max(2, cores // 4)
-        _DOCS_NEEDS_REPARTITION[key] = needs
-    if needs:
-        d = d.repartition(cores)
+    if _split_probe(spark, sf_dir, "documents", d):
+        d = d.repartition(spark.sparkContext.defaultParallelism)
     return d
 
 
@@ -1192,13 +1203,26 @@ def _north_files(spark: SparkSession) -> DataFrame:
 
     key = id(spark)
     if _north_cache.get("key") != key:
+        from concurrent.futures import ThreadPoolExecutor
+
         files = add_partition_column(
             generate_code_files(spark, 20000, seed=42),
             n_buckets=8, cols=["repo", "path"],
         ).persist()
         commits = generate_commits(spark)
-        files.write.mode("overwrite").parquet(_NORTH_FIXTURE)
-        commits.write.mode("overwrite").parquet(_NORTH_COMMITS_FIXTURE)
+        # the two fixture writes are independent jobs — overlap them
+        # (guide §2.6) so the second write's tasks back-fill the first's
+        # tail instead of serializing two small-file commit rounds
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(
+                lambda: files.write.mode("overwrite").parquet(_NORTH_FIXTURE)
+            )
+            fb = pool.submit(
+                lambda: commits.write.mode("overwrite").parquet(
+                    _NORTH_COMMITS_FIXTURE
+                )
+            )
+            fa.result(), fb.result()
         _north_cache.update(key=key, files=files, commits=commits)
     return _north_cache["files"]
 
