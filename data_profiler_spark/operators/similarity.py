@@ -149,10 +149,15 @@ def kmeans_like_centroids(
             .limit(n_centroids)
             .collect()
         )
-        return spark.createDataFrame(
+        out = spark.createDataFrame(
             [(i, list(r[1])) for i, r in enumerate(rows)],
             f"centroid_id int, centroid_vec {vec_type}",
         )
+        # the (cid, vec) rows ride along so consumers (pq_encode's numpy
+        # codebook, pq_topk's dim probe) need no re-collect job over the
+        # local relation — zero cost, same values
+        out._centroid_rows = [(i, [float(x) for x in r[1]]) for i, r in enumerate(rows)]
+        return out
     ids = [
         r[0]
         for r in corpus.select(F.col(id_col)).distinct()
@@ -379,6 +384,9 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_centroids: int | None = None,
     target_bucket: int = 500,
+    n_rows: int | None = None,
+    dim: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, bucketed by IVF centroid.
 
@@ -395,13 +403,26 @@ def embedding_near_dup_pairs(
     Semantics: deterministic-approximate — a pair is reported iff both
     vectors share a primary centroid AND cosine >= threshold. The bucketing
     is fully deterministic (lowest-id centroids, rank-stable assignment), so
-    results are reproducible and SQL-oracle checkable."""
+    results are reproducible and SQL-oracle checkable.
+
+    Job-count knobs (r7, all defaulting to the self-contained behaviour):
+    ``n_rows`` skips the adaptive-C count() job when the caller already
+    knows N (e.g. from parquet footers); ``dim`` skips the centroid
+    builder's one-row dim probe; ``centroids`` injects a prebuilt
+    (centroid_id, centroid_vec) table — e.g. built over the RAW scan so
+    the TakeOrdered does not re-execute a defensive repartition exchange
+    of the full vector table. Results are identical either way."""
     import numpy as np
     import pandas as pd
 
-    if n_centroids is None:
-        n_centroids = adaptive_n_centroids(df.count(), target_bucket)
-    cents = kmeans_like_centroids(df, id_col, vec_col, n_centroids)
+    if centroids is None:
+        if n_centroids is None:
+            n_centroids = adaptive_n_centroids(
+                n_rows if n_rows is not None else df.count(), target_bucket
+            )
+        cents = kmeans_like_centroids(df, id_col, vec_col, n_centroids, dim=dim)
+    else:
+        cents = centroids
     assigned = ivf_assign(df, cents, id_col, vec_col)
 
     thr = float(threshold)
@@ -518,7 +539,11 @@ def pq_encode(
     as the reference (equality is pytest-asserted).
     """
     if dim is None:
-        dim = len(centroids.select("centroid_vec").first()[0])
+        pre = getattr(centroids, "_centroid_rows", None)
+        if pre:
+            dim = len(pre[0][1])
+        else:
+            dim = len(centroids.select("centroid_vec").first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -579,9 +604,14 @@ def _pq_encode_numpy(
     import pandas as pd
 
     keep = list(keep_cols or [])
-    crows = centroids.select("centroid_id", "centroid_vec").collect()
-    crows.sort(key=lambda r: r["centroid_id"])
-    CB = np.asarray([list(r["centroid_vec"]) for r in crows], dtype=np.float64)
+    pre = getattr(centroids, "_centroid_rows", None)
+    if pre is not None:
+        crows = sorted(pre, key=lambda r: r[0])
+        CB = np.asarray([r[1] for r in crows], dtype=np.float64)
+    else:
+        crows = centroids.select("centroid_id", "centroid_vec").collect()
+        crows.sort(key=lambda r: r["centroid_id"])
+        CB = np.asarray([list(r["centroid_vec"]) for r in crows], dtype=np.float64)
 
     src = corpus.select(F.col(id_col), *keep, F.col(vec_col))
     in_schema = src.schema
@@ -643,7 +673,11 @@ def pq_topk(
     fold, same order), so the top-k is bit-for-bit unchanged; only the
     per-pair cost drops from m x sub pow-folds to m element_ats.
     """
-    dim = len(centroids.select("centroid_vec").first()[0])
+    pre = getattr(centroids, "_centroid_rows", None)
+    if pre:
+        dim = len(pre[0][1])
+    else:
+        dim = len(centroids.select("centroid_vec").first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -721,6 +755,7 @@ def ivfpq_topk(
     n_codes: int = 16,
     k_top: int = 5,
     coarse: DataFrame | None = None,
+    seed_source: DataFrame | None = None,
 ) -> DataFrame:
     """IVF+PQ — the standard billion-vector ANN architecture (FAISS
     IVFADC; Jégou et al. 2011 §IV): a coarse quantizer routes each vector
@@ -758,8 +793,13 @@ def ivfpq_topk(
 
     spark = corpus.sparkSession
     n_seed = max(n_coarse, n_codes)
+    # seed_source (r7): same rows, cheaper job — the lowest-id seed collect
+    # can run over the RAW scan instead of a corpus that carries a
+    # defensive repartition exchange (TakeOrdered on one split collects
+    # n_seed rows without shuffling every vector first)
     seed_rows = (
-        corpus.select(F.col(id_col), F.col(vec_col))
+        (seed_source if seed_source is not None else corpus)
+        .select(F.col(id_col), F.col(vec_col))
         .orderBy(F.col(id_col))
         .limit(n_seed)
         .collect()
