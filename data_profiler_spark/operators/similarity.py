@@ -42,20 +42,40 @@ def ann_topk_bruteforce(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 10,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query.
 
     Physical plan: BROADCAST the (small) query set against the (huge)
     corpus — the corpus is scanned once, no shuffle of vectors; the only
-    shuffle is the per-query top-k (rows = |corpus| x |queries| reduced by
-    partial top-k via window over query_id)."""
-    import pandas as pd
+    shuffle is the per-query top-k, and the ``row_number() <= k`` rank
+    filter compiles to a map-side Partial ``WindowGroupLimit`` (Spark
+    >= 3.5), so only P x Q x k survivors reach the exchange. (r7: the
+    old explicit ``mapInPandas`` partial top-k did the same reduction
+    one stage earlier but shipped ALL Q x N scored rows JVM->Python->JVM
+    through Arrow just to drop them — the JVM group-limit makes the
+    Python stage pure overhead, so it is gone; same rows, same order.)
 
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        norm(F.col(vec_col)).alias("__qn"),
-    )
+    ``query_rows`` (r7): optional pre-collected ``[(query_id, [vec])]``;
+    when given, the broadcast query side is a LOCAL relation (no scan
+    job inside the broadcast build). ``__qn`` is still the JVM norm fold
+    over the same doubles — identical sims either way."""
+    if query_rows is not None:
+        qid_type = queries.schema[query_id_col].dataType.simpleString()
+        q = corpus.sparkSession.createDataFrame(
+            [(qid, [float(x) for x in v]) for qid, v in query_rows],
+            f"`{query_id_col}` {qid_type}, __qvec array<double>",
+        ).select(
+            F.col(query_id_col),
+            F.col("__qvec"),
+            norm(F.col("__qvec")).alias("__qn"),
+        )
+    else:
+        q = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
+        )
     # precompute each corpus vector's norm once: scoring per (row, query)
     # pair is then just the dot fold (same float math as cosine())
     joined = corpus.withColumn("__cn", norm(F.col(vec_col))).crossJoin(
@@ -69,29 +89,11 @@ def ann_topk_bruteforce(
         ).alias("sim"),
     )
 
-    # map-side PARTIAL top-k before the per-query window: without it the
-    # window exchange shuffles all Q x N scored rows; with it only
-    # P x Q x k survivors move. Running top-k per Arrow batch keeps the
-    # per-partition working set at Q x k rows. Same (sim desc, id asc)
-    # order as the final window, so the result set is identical.
-    def local_topk(batches):
-        best: pd.DataFrame | None = None
-        for pdf in batches:
-            cur = pd.concat([best, pdf]) if best is not None else pdf
-            cur = cur.sort_values(
-                [query_id_col, "sim", id_col], ascending=[True, False, True]
-            )
-            best = cur.groupby(query_id_col, sort=False).head(k)
-        if best is not None and len(best):
-            yield best
-
-    reduced = scored.mapInPandas(local_topk, scored.schema)
-
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("sim"), F.col(id_col)
     )
     return (
-        reduced.withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "sim", "rank")
     )
@@ -303,6 +305,7 @@ def ann_topk_ivf(
     n_centroids: int = 16,
     nprobe: int = 4,
     centroids: DataFrame | None = None,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: only the nprobe nearest centroid buckets are
     scanned per query. At 1000-executor scale the assignment is a cached
@@ -318,21 +321,48 @@ def ann_topk_ivf(
     )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
-    qjoined = queries.crossJoin(F.broadcast(cents))
-    qscored = qjoined.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        F.col("centroid_id"),
-        cosine(F.col(vec_col), F.col("centroid_vec")).alias("csim"),
-    )
-    wq = Window.partitionBy(query_id_col).orderBy(F.desc("csim"), F.col("centroid_id"))
-    probes = (
-        qscored.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select(query_id_col, "__qvec", "centroid_id")
-    )
-
-    import pandas as pd
+    pre = getattr(cents, "_centroid_rows", None)
+    if query_rows is not None and pre:
+        # driver replica (r7): probe selection is Q x C cosine folds over
+        # rows the driver already holds — _dot_py/_norm_py replay the
+        # Column folds op for op, and the (query, centroid) probe list
+        # ships as ONE local relation instead of a scan + window subplan.
+        # NaN-free vectors assumed; the distributed path stays the
+        # default for arbitrary query frames.
+        cvs = [r[1] for r in sorted(pre, key=lambda r: r[0])]
+        cns = [_norm_py(cv) for cv in cvs]
+        p_rows = []
+        for qid, qvec in query_rows:
+            qpy = [float(x) for x in qvec]
+            qn = _norm_py(qpy)
+            sims = [
+                _dot_py(qpy, cv) / (qn * cns[ci]) for ci, cv in enumerate(cvs)
+            ]
+            order = sorted(range(len(cvs)), key=lambda ci: (-sims[ci], ci))
+            for ci in order[:nprobe]:
+                p_rows.append((qid, qpy, ci))
+        qid_type = queries.schema[query_id_col].dataType.simpleString()
+        probes = corpus.sparkSession.createDataFrame(
+            p_rows,
+            f"`{query_id_col}` {qid_type}, __qvec array<double>, "
+            "centroid_id int",
+        )
+    else:
+        qjoined = queries.crossJoin(F.broadcast(cents))
+        qscored = qjoined.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            F.col("centroid_id"),
+            cosine(F.col(vec_col), F.col("centroid_vec")).alias("csim"),
+        )
+        wq = Window.partitionBy(query_id_col).orderBy(
+            F.desc("csim"), F.col("centroid_id")
+        )
+        probes = (
+            qscored.withColumn("rn", F.row_number().over(wq))
+            .where(F.col("rn") <= nprobe)
+            .select(query_id_col, "__qvec", "centroid_id")
+        )
 
     cand = assigned.withColumn("__cn", norm(F.col(vec_col))).join(
         F.broadcast(probes.withColumn("__qn", norm(F.col("__qvec")))),
@@ -346,23 +376,13 @@ def ann_topk_ivf(
         ).alias("sim"),
     )
 
-    # same map-side partial top-k as the brute-force path: the final window
-    # then shuffles P x Q x k survivors instead of every probed candidate
-    def local_topk(batches):
-        best: pd.DataFrame | None = None
-        for pdf in batches:
-            cur = pd.concat([best, pdf]) if best is not None else pdf
-            cur = cur.sort_values(
-                [query_id_col, "sim", id_col], ascending=[True, False, True]
-            )
-            best = cur.groupby(query_id_col, sort=False).head(k)
-        if best is not None and len(best):
-            yield best
-
-    reduced = scored.mapInPandas(local_topk, scored.schema)
+    # the rank-window filter compiles to a map-side Partial
+    # WindowGroupLimit: the exchange sees P x Q x k survivors, not every
+    # probed candidate — same reduction the old mapInPandas partial top-k
+    # performed, without Arrow-shipping every scored row through Python
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
     return (
-        reduced.withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "sim", "rank")
     )
@@ -502,6 +522,46 @@ def _subdist(v: Column, cb: Column, j: Column, c: Column, sub: int) -> Column:
             2,
         ),
     )
+
+
+# --- driver replicas of the JVM fold arithmetic -------------------------
+# Each is the SAME sequence of IEEE-754 double ops the Column expression
+# performs (ascending-index left folds, d*d for pow(d, 2), division after
+# the full fold), so a value computed here is bit-identical to the JVM's.
+# They let tiny per-query broadcast sides (probe lists, ADC lookup tables)
+# be built as LOCAL relations — zero scan/window/HOF jobs — instead of as
+# subplans that each launch a job per broadcast (guide §8: decide with
+# small rows at the driver, keep the cluster for the big side).
+
+
+def _dot_py(a: list, b: list) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _norm_py(a: list) -> float:
+    import math
+
+    acc = 0.0
+    for x in a:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _subdist_py(v: list, e: list, j: int, sub: int) -> float:
+    acc = 0.0
+    for t in range(sub):
+        i = j * sub + t
+        d = v[i] - e[i]
+        acc += d * d  # == correctly-rounded pow(d, 2)
+    return acc
+
+
+def _lut_py(v: list, cb: list, m: int, sub: int) -> list:
+    """The m x k ADC table ``_subdist`` builds per query, as plain doubles."""
+    return [[_subdist_py(v, e, j, sub) for e in cb] for j in range(m)]
 
 
 def pq_encode(
@@ -657,6 +717,7 @@ def pq_topk(
     id_col: str = "vec_id",
     m: int = 8,
     k_top: int = 5,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: approximate squared L2 of
     (query, doc) = sum over subspaces of ||q_j - codebook[code_j]_j||^2 —
@@ -672,6 +733,13 @@ def pq_topk(
     the identical double the r6 per-pair re-derivation produced (same
     fold, same order), so the top-k is bit-for-bit unchanged; only the
     per-pair cost drops from m x sub pow-folds to m element_ats.
+
+    ``query_rows`` (r7): optional pre-collected ``[(query_id, [vec])]``.
+    When given (and the centroid rows rode along from
+    ``kmeans_like_centroids``), the per-query LUT is computed at the
+    DRIVER with ``_lut_py`` — the same left-fold doubles — and broadcast
+    as a LOCAL relation: the query-side scan + crossJoin + m x k HOF
+    folds disappear from the plan entirely. Identical output either way.
     """
     pre = getattr(centroids, "_centroid_rows", None)
     if pre:
@@ -700,23 +768,34 @@ def pq_topk(
                 f"encoded codes have length {len(probe[0])} but m={m} — "
                 "encode and query must use the same m"
             )
-    qv = F.col(query_vec).cast("array<double>")
-    cb = F.col("__cb")
-    # ADC lookup table, built once per query at broadcast time:
-    # __lut[j][c] = ||q_j - codebook[c]_j||^2 (ascending-index fold, the
-    # exact expression the per-pair path evaluated)
-    lut = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: F.transform(
-            F.sequence(F.lit(0), F.size(cb) - 1),
-            lambda c: _subdist(qv, cb, j, c, sub),
-        ),
-    )
-    qlut = (
-        queries.select(query_id, query_vec)
-        .crossJoin(F.broadcast(_cb_row(centroids)))
-        .select(F.col(query_id), lut.alias("__lut"))
-    )
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    if query_rows is not None and pre:
+        cbv = [r[1] for r in sorted(pre, key=lambda r: r[0])]
+        qlut = queries.sparkSession.createDataFrame(
+            [
+                (qid, _lut_py([float(x) for x in qvec], cbv, m, sub))
+                for qid, qvec in query_rows
+            ],
+            f"`{query_id}` {qid_type}, __lut array<array<double>>",
+        )
+    else:
+        qv = F.col(query_vec).cast("array<double>")
+        cb = F.col("__cb")
+        # ADC lookup table, built once per query at broadcast time:
+        # __lut[j][c] = ||q_j - codebook[c]_j||^2 (ascending-index fold,
+        # the exact expression the per-pair path evaluated)
+        lut = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.transform(
+                F.sequence(F.lit(0), F.size(cb) - 1),
+                lambda c: _subdist(qv, cb, j, c, sub),
+            ),
+        )
+        qlut = (
+            queries.select(query_id, query_vec)
+            .crossJoin(F.broadcast(_cb_row(centroids)))
+            .select(F.col(query_id), lut.alias("__lut"))
+        )
     adist = F.aggregate(
         F.sequence(F.lit(1), F.lit(m)),
         F.lit(0.0),
@@ -756,6 +835,7 @@ def ivfpq_topk(
     k_top: int = 5,
     coarse: DataFrame | None = None,
     seed_source: DataFrame | None = None,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """IVF+PQ — the standard billion-vector ANN architecture (FAISS
     IVFADC; Jégou et al. 2011 §IV): a coarse quantizer routes each vector
@@ -853,46 +933,73 @@ def ivfpq_topk(
         res, rcb, id_col, "__res", m=m, keep_cols=["centroid_id"],
         dim=len(rcb_rows[0][1]) if rcb_rows else None,
     )
-    # nprobe nearest coarse lists per query (same dot/|c| comparator as
-    # ivf_assign), then the query's residual AGAINST EACH probed centroid
-    cq = cents.withColumn("__cnorm", norm(F.col("centroid_vec")))
-    qv = F.col(query_vec).cast("array<double>")
-    qj = queries.crossJoin(F.broadcast(cq)).select(
-        F.col(query_id),
-        F.col("centroid_id"),
-        F.zip_with(qv, cvec, lambda a, b: a - b).alias("__qres"),
-        (dot(qv, F.col("centroid_vec")) / F.col("__cnorm")).alias("__csim"),
-    )
-    wq = Window.partitionBy(query_id).orderBy(
-        F.desc("__csim"), F.col("centroid_id").asc()
-    )
-    probes = (
-        qj.withColumn("__rn", F.row_number().over(wq))
-        .where(F.col("__rn") <= nprobe)
-        .select(query_id, "centroid_id", "__qres")
-    )
     dim = len(rcb_rows[0][1])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    cb = F.col("__cb")
-    qr = F.col("__qres")
-    # ADC lookup table per (query, probed list), built once on the tiny
-    # broadcast side (Q x nprobe rows): __lut[j][c] = ||qres_j - rcb[c]_j||^2
-    # with the exact per-pair fold the r6 path evaluated per candidate —
-    # candidates then cost m array lookups instead of m x sub pow-folds,
-    # same doubles, same top-k.
-    lut = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: F.transform(
-            F.sequence(F.lit(0), F.size(cb) - 1),
-            lambda c: _subdist(qr, cb, j, c, sub),
-        ),
-    )
-    probes_lut = (
-        probes.crossJoin(F.broadcast(_cb_row(rcb)))
-        .select(F.col(query_id), F.col("centroid_id"), lut.alias("__lut"))
-    )
+    if query_rows is not None:
+        # driver replica (r7): the probe list and per-(query, list) ADC
+        # table are Q x nprobe rows by construction — build them at the
+        # driver with the same left-fold doubles (_dot_py/_lut_py mirror
+        # the Column folds op for op) and ship ONE local relation, so the
+        # query-side scan + window + m x k HOF folds never enter the
+        # plan. NaN-free vectors assumed (the distributed path remains
+        # the default for arbitrary inputs).
+        rcb_vecs = [v for _, v in rcb_rows]
+        plut_rows = []
+        for qid, qvec in query_rows:
+            qpy = [float(x) for x in qvec]
+            sims = [
+                _dot_py(qpy, cv) / cnorms[ci] for ci, cv in enumerate(cvecs)
+            ]
+            order = sorted(range(len(cvecs)), key=lambda ci: (-sims[ci], ci))
+            for ci in order[:nprobe]:
+                qres = [a - b for a, b in zip(qpy, cvecs[ci])]
+                plut_rows.append((qid, ci, _lut_py(qres, rcb_vecs, m, sub)))
+        qid_type = queries.schema[query_id].dataType.simpleString()
+        probes_lut = spark.createDataFrame(
+            plut_rows,
+            f"`{query_id}` {qid_type}, centroid_id int, "
+            "__lut array<array<double>>",
+        )
+    else:
+        # nprobe nearest coarse lists per query (same dot/|c| comparator
+        # as ivf_assign), then the query's residual AGAINST EACH probed
+        # centroid
+        cq = cents.withColumn("__cnorm", norm(F.col("centroid_vec")))
+        qv = F.col(query_vec).cast("array<double>")
+        qj = queries.crossJoin(F.broadcast(cq)).select(
+            F.col(query_id),
+            F.col("centroid_id"),
+            F.zip_with(qv, cvec, lambda a, b: a - b).alias("__qres"),
+            (dot(qv, F.col("centroid_vec")) / F.col("__cnorm")).alias("__csim"),
+        )
+        wq = Window.partitionBy(query_id).orderBy(
+            F.desc("__csim"), F.col("centroid_id").asc()
+        )
+        probes = (
+            qj.withColumn("__rn", F.row_number().over(wq))
+            .where(F.col("__rn") <= nprobe)
+            .select(query_id, "centroid_id", "__qres")
+        )
+        cb = F.col("__cb")
+        qr = F.col("__qres")
+        # ADC lookup table per (query, probed list), built once on the
+        # tiny broadcast side (Q x nprobe rows): __lut[j][c] =
+        # ||qres_j - rcb[c]_j||^2 with the exact per-pair fold the r6
+        # path evaluated per candidate — candidates then cost m array
+        # lookups instead of m x sub pow-folds, same doubles, same top-k.
+        lut = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.transform(
+                F.sequence(F.lit(0), F.size(cb) - 1),
+                lambda c: _subdist(qr, cb, j, c, sub),
+            ),
+        )
+        probes_lut = (
+            probes.crossJoin(F.broadcast(_cb_row(rcb)))
+            .select(F.col(query_id), F.col("centroid_id"), lut.alias("__lut"))
+        )
     adist = F.aggregate(
         F.sequence(F.lit(1), F.lit(m)),
         F.lit(0.0),

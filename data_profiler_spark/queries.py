@@ -78,6 +78,46 @@ def _footer_row_count(sf_dir: str, name: str) -> int | None:
     return _TABLE_ROW_COUNTS[key]
 
 
+_EMB_QROWS: dict[tuple, list | None] = {}
+
+
+def _emb_query_rows(sf_dir: str, max_id: int = 5) -> list | None:
+    """The ANN query vectors (vec_id < max_id), read driver-side from the
+    parquet input (pyarrow row filter, milliseconds). The same rows every
+    query-side subplan scans; handing them to the similarity operators as
+    ``query_rows`` lets the Q x C probe/LUT broadcast sides be LOCAL
+    relations — no per-broadcast scan + window job. None on read failure
+    (operators then build the probe side distributed, as before)."""
+    key = (sf_dir, max_id)
+    if key not in _EMB_QROWS:
+        try:
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            path = f"{sf_dir}/embeddings.parquet"
+            files = _glob.glob(f"{path}/*.parquet") or [path]
+            rows: list = []
+            for f in files:
+                t = _pq.read_table(
+                    f,
+                    columns=["vec_id", "embedding"],
+                    filters=[("vec_id", "<", max_id)],
+                )
+                rows.extend(
+                    (vid, [float(x) for x in emb])
+                    for vid, emb in zip(
+                        t.column("vec_id").to_pylist(),
+                        t.column("embedding").to_pylist(),
+                    )
+                )
+            rows.sort(key=lambda r: r[0])
+            _EMB_QROWS[key] = rows
+        except Exception:
+            _EMB_QROWS[key] = None
+    return _EMB_QROWS[key]
+
+
 def _split_probe(spark: SparkSession, sf_dir: str, name: str, d: DataFrame) -> bool:
     """True when the table's scan would yield fewer row-bearing splits
     than cores/4 (a parquet file written as ONE row group cannot be
@@ -1011,7 +1051,10 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_topk_bruteforce(e, q, "vec_id", "embedding", "query_id", k=5)
+    return ann_topk_bruteforce(
+        e, q, "vec_id", "embedding", "query_id", k=5,
+        query_rows=_emb_query_rows(sf_dir, 5),
+    )
 
 
 _NEAR_DUP_ORACLE = """
@@ -1123,7 +1166,8 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange, and dim=64 skips the builder's one-row probe job
     cents = kmeans_like_centroids(raw, "vec_id", "embedding", 8, dim=64)
     return ann_topk_ivf(e, q, "vec_id", "embedding", "query_id", k=5,
-                        n_centroids=8, nprobe=3, centroids=cents)
+                        n_centroids=8, nprobe=3, centroids=cents,
+                        query_rows=_emb_query_rows(sf_dir, 5))
 
 
 # Refined-IVF (VERDICT r4 #10): the Lloyd-refined centroids are iterative —
@@ -3626,7 +3670,8 @@ def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return pq_topk(
-        enc, cents, queries, "query_id", "qvec", "vec_id", m=8, k_top=5
+        enc, cents, queries, "query_id", "qvec", "vec_id", m=8, k_top=5,
+        query_rows=_emb_query_rows(sf_dir, 5),
     )
 
 
@@ -3798,4 +3843,5 @@ def q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # seeds off the RAW scan: same lowest-id rows, no repartition
         # exchange in the seed-collect job (r7)
         seed_source=e,
+        query_rows=_emb_query_rows(sf_dir, 5),
     )
