@@ -80,45 +80,46 @@ def kmv_overlap(
     in BOTH sides is an unbiased Jaccard estimate. If a side has fewer
     than k distinct keys its sketch is exhaustive and the "estimate" is
     exact (the count itself)."""
-    sk_a = kmv_sketch(df_a, key_col, k)
-    sk_b = kmv_sketch(df_b, key_col, k)
-    merged = sk_a.union(sk_b).distinct().orderBy("h").limit(int(k))
-    both = merged.join(sk_a, "h", "left_semi").join(sk_b, "h", "left_semi")
+    # One distributed job per side builds the sketch (distinct +
+    # TakeOrdered — the only part that touches the input); the estimate
+    # itself is O(k) integer/order-statistic math, so it runs at the
+    # DRIVER over the <= 2k collected hashes (r7). The previous
+    # declarative estimator referenced each sketch three times (union
+    # merge, semi-join membership, count/max aggregate) and its crossJoin
+    # cascade spawned ~16 broadcast/AQE jobs over 1-row frames — Catalyst
+    # re-executed the whole distinct+TakeOrdered input subtree per
+    # reference. Doubles replicate the Column arithmetic exactly: same
+    # long->double casts, same divisions, and HALF_UP rounding on the
+    # shortest-decimal form (Java BigDecimal.valueOf == Python repr).
+    hs_a = [r["h"] for r in kmv_sketch(df_a, key_col, k).collect()]
+    hs_b = [r["h"] for r in kmv_sketch(df_b, key_col, k).collect()]
+    set_a, set_b = set(hs_a), set(hs_b)
+    merged = sorted(set_a | set_b)[: int(k)]
+    k_int = sum(1 for h in merged if h in set_a and h in set_b)
 
-    def est(sk: DataFrame, name: str) -> DataFrame:
-        # exhaustive sketch (n < k) -> exact count; else (k-1)/h_k
-        return sk.agg(
-            F.count("h").alias(f"__n_{name}"), F.max("h").alias(f"__hk_{name}")
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def rnd(x: float) -> float:
+        if x != x or x in (float("inf"), float("-inf")):
+            return x
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal(1).scaleb(-int(round_to)), rounding=ROUND_HALF_UP
+            )
         )
 
-    parts = (
-        est(sk_a, "a")
-        .crossJoin(est(sk_b, "b"))
-        .crossJoin(est(merged, "u"))
-        .crossJoin(both.agg(F.count("h").alias("k_intersect")))
-    )
+    def d_est(hs: list) -> float:
+        n = len(hs)
+        if n < int(k):
+            return rnd(float(n))
+        return rnd((float(n) - 1.0) / (float(max(hs)) / HASH_SPACE))
 
-    def distinct_est(name: str) -> Column:
-        n = F.col(f"__n_{name}")
-        hk = F.col(f"__hk_{name}").cast("double") / F.lit(HASH_SPACE)
-        return F.round(
-            F.when(n < F.lit(int(k)), n.cast("double")).otherwise(
-                (n.cast("double") - 1.0) / hk
-            ),
-            round_to,
-        )
-
-    jac = F.round(
-        F.col("k_intersect").cast("double") / F.col("__n_u").cast("double"),
-        round_to,
-    )
-    return parts.select(
-        F.lit(int(k)).alias("k"),
-        distinct_est("a").alias("est_distinct_a"),
-        distinct_est("b").alias("est_distinct_b"),
-        distinct_est("u").alias("est_distinct_union"),
-        F.col("k_intersect").cast("long").alias("k_intersect"),
-        jac.alias("est_jaccard"),
+    n_u = len(merged)
+    jac = rnd(float(k_int) / float(n_u)) if n_u else float("nan")
+    return df_a.sparkSession.createDataFrame(
+        [(int(k), d_est(hs_a), d_est(hs_b), d_est(merged), k_int, jac)],
+        "k int, est_distinct_a double, est_distinct_b double, "
+        "est_distinct_union double, k_intersect bigint, est_jaccard double",
     )
 
 

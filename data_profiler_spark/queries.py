@@ -3386,6 +3386,12 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     g = d.select("doc_id", F.md5("text").alias("h"),
                  token_count(F.col("text")).alias("score"))
+    # g feeds three plan branches (comp, clusters, scored) — without a
+    # materialization barrier each branch re-tokenizes and re-hashes the
+    # full text column. localCheckpoint the narrow (id, h, score) rows
+    # once; everything downstream reads ~24 B/doc instead of the corpus
+    # (r7: 3 text passes -> 1)
+    g = g.localCheckpoint(eager=True)
     comp = g.groupBy("h").agg(F.min("doc_id").alias("component"))
     clusters = g.join(comp, "h").select(
         F.col("doc_id").alias("node"), "component"
