@@ -118,10 +118,17 @@ class ProfileStore:
             for profiles, run_id in runs
             for r in profiles_to_rows(profiles, run_id, suite_id, snapshot_id)
         ]
-        df = self.spark.createDataFrame(
-            [tuple(r.get(f.name) for f in PROFILE_SCHEMA.fields) for r in rows],
-            PROFILE_SCHEMA,
-        )
+        tuples = [
+            tuple(r.get(f.name) for f in PROFILE_SCHEMA.fields) for r in rows
+        ]
+        # driver-side pyarrow write (r7): sketch rows are bounded by
+        # columns x groups and already driver-resident; skip the Spark
+        # write job's ~0.5 s scheduling/commit for the same part file
+        from data_profiler_spark.sources.results_store import arrow_append_rows
+
+        if arrow_append_rows(self.path, tuples, PROFILE_SCHEMA, mode):
+            return
+        df = self.spark.createDataFrame(tuples, PROFILE_SCHEMA)
         # repartition(1), NOT coalesce(1): coalescing a python-local
         # relation folds every default-parallelism slice into one task
         # that re-enters the Python runner per slice (~5 s for 6 rows at
