@@ -91,8 +91,17 @@ def kmv_overlap(
     # reference. Doubles replicate the Column arithmetic exactly: same
     # long->double casts, same divisions, and HALF_UP rounding on the
     # shortest-decimal form (Java BigDecimal.valueOf == Python repr).
-    hs_a = [r["h"] for r in kmv_sketch(df_a, key_col, k).collect()]
-    hs_b = [r["h"] for r in kmv_sketch(df_b, key_col, k).collect()]
+    # ONE collect for both sides: tagging and unioning the two bounded
+    # sketches makes their subtrees sibling branches of a single job, so
+    # they execute concurrently without driver threads and pay one job's
+    # fixed cost, not two
+    tagged = (
+        kmv_sketch(df_a, key_col, k).select(F.lit(0).alias("s"), "h")
+        .union(kmv_sketch(df_b, key_col, k).select(F.lit(1).alias("s"), "h"))
+    )
+    rows = tagged.collect()
+    hs_a = [r["h"] for r in rows if r["s"] == 0]
+    hs_b = [r["h"] for r in rows if r["s"] == 1]
     set_a, set_b = set(hs_a), set(hs_b)
     merged = sorted(set_a | set_b)[: int(k)]
     k_int = sum(1 for h in merged if h in set_a and h in set_b)

@@ -3388,10 +3388,11 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
                  token_count(F.col("text")).alias("score"))
     # g feeds three plan branches (comp, clusters, scored) — without a
     # materialization barrier each branch re-tokenizes and re-hashes the
-    # full text column. localCheckpoint the narrow (id, h, score) rows
-    # once; everything downstream reads ~24 B/doc instead of the corpus
-    # (r7: 3 text passes -> 1)
-    g = g.localCheckpoint(eager=True)
+    # full text column. A LAZY localCheckpoint persists the narrow
+    # (id, h, score) rows when the single downstream action first
+    # computes them — the other branches then read ~24 B/doc from the
+    # persisted blocks (r7: 3 text passes -> 1, no extra job)
+    g = g.localCheckpoint(eager=False)
     comp = g.groupBy("h").agg(F.min("doc_id").alias("component"))
     clusters = g.join(comp, "h").select(
         F.col("doc_id").alias("node"), "component"
