@@ -259,7 +259,61 @@ def ivf_assign(
     This form has NO exchange at all: first-match-on-max equals the old
     (csim DESC, centroid_id ASC) tie-break, and each per-pair csim is the
     identical double (same dot fold, same precomputed |c|), so the
-    assignment is bit-for-bit unchanged."""
+    assignment is bit-for-bit unchanged.
+
+    Numpy fast path (r7): when the centroid rows rode along from
+    ``kmeans_like_centroids`` (driver-resident — the normal case), the
+    argmax runs as ONE vectorized mapInPandas pass replaying the exact
+    fold sequence (columnwise ascending-index accumulation == the dot
+    fold, divide by the same |c| doubles, ``np.argmax`` first-max == the
+    strict-> tie-break). At N x C x dim scale the interpreted HOF fold
+    is seconds of lambda dispatch per million pairs; numpy is
+    milliseconds, and the vector column round-trips Arrow bit-exactly.
+    The Column path remains for centroid frames built distributed."""
+    pre = getattr(centroids, "_centroid_rows", None)
+    if pre:
+        import numpy as np
+        import pandas as pd
+
+        rows = sorted(pre, key=lambda r: r[0])
+        CIDS = np.asarray([r[0] for r in rows], dtype=np.int64)
+        CV = np.asarray([r[1] for r in rows], dtype=np.float64)
+        CN = np.asarray([_norm_py(r[1]) for r in rows], dtype=np.float64)
+        dim = CV.shape[1] if len(CV) else 0
+        id_t = corpus.schema[id_col].dataType.simpleString()
+        vec_t = corpus.schema[vec_col].dataType.simpleString()
+        out_schema = f"`{id_col}` {id_t}, `{vec_col}` {vec_t}, centroid_id int"
+
+        def assign(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0 or len(CV) == 0:
+                    continue
+                X = np.asarray(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in pdf[vec_col].to_numpy()
+                    ]
+                )
+                S = np.empty((n, len(CV)), dtype=np.float64)
+                for ci in range(len(CV)):
+                    acc = np.zeros(n, dtype=np.float64)
+                    cv = CV[ci]
+                    for i2 in range(dim):
+                        acc = acc + X[:, i2] * cv[i2]  # ascending fold
+                    S[:, ci] = acc / CN[ci]
+                best = np.argmax(S, axis=1)  # first max == lowest cid
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        vec_col: pdf[vec_col].to_numpy(),
+                        "centroid_id": CIDS[best].astype("int32"),
+                    }
+                )
+
+        return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            assign, out_schema
+        )
     crow = centroids.select(
         F.col("centroid_id"),
         F.col("centroid_vec").cast("array<double>").alias("__cv"),
@@ -920,23 +974,70 @@ def ivfpq_topk(
     rcb = spark.createDataFrame(
         rcb_rows, "centroid_id int, centroid_vec array<double>"
     )
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
-    cvec = F.col("centroid_vec").cast("array<double>")
-    res = assigned.join(F.broadcast(cents), "centroid_id").select(
-        F.col(id_col),
-        F.col("centroid_id"),
-        F.zip_with(
-            F.col(vec_col).cast("array<double>"), cvec, lambda a, b: a - b
-        ).alias("__res"),
-    )
-    enc = pq_encode(
-        res, rcb, id_col, "__res", m=m, keep_cols=["centroid_id"],
-        dim=len(rcb_rows[0][1]) if rcb_rows else None,
-    )
     dim = len(rcb_rows[0][1])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
+
+    # FUSED assign + residual + encode in ONE narrow mapInPandas pass
+    # (r7): the r6 chain was three plan stages — broadcast HOF argmax
+    # (ivf_assign), a broadcast join re-attaching the centroid vector for
+    # the zip_with residual, then pq_encode's own pass. All three are
+    # per-row arithmetic over driver-known centroids, so one vectorized
+    # pass replays them with the exact same IEEE-754 sequence: coarse
+    # sims accumulate columnwise in ascending index order (the dot fold),
+    # divide by the precomputed |c| (same doubles as cnorms), np.argmax
+    # takes the FIRST max (== strict-> keep-first, the array_max
+    # struct tie-break), residual is elementwise a-b, and the code
+    # argmin replays _subdist's d*d fold. Identical (id, centroid_id,
+    # codes) rows; two fewer plan stages and no interpreted HOF argmax.
+    import numpy as np
+    import pandas as pd
+
+    CV = np.asarray(cvecs, dtype=np.float64)          # (C, dim)
+    CN = np.asarray(cnorms, dtype=np.float64)         # (C,)
+    RCB = np.asarray([v for _, v in rcb_rows], dtype=np.float64)  # (k, dim)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    enc_schema = f"`{id_col}` {id_type}, centroid_id int, codes array<int>"
+
+    def assign_encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
+            )
+            S = np.empty((n, len(CV)), dtype=np.float64)
+            for ci in range(len(CV)):
+                acc = np.zeros(n, dtype=np.float64)
+                cv = CV[ci]
+                for i2 in range(dim):
+                    acc = acc + X[:, i2] * cv[i2]   # ascending-index fold
+                S[:, ci] = acc / CN[ci]
+            best = np.argmax(S, axis=1)             # first max == lowest cid
+            R = X - CV[best]
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                acc2 = None
+                for t in range(sub):
+                    i2 = j * sub + t
+                    d = R[:, i2][:, None] - RCB[None, :, i2]
+                    term = d * d                    # pow(d, 2)
+                    acc2 = term if acc2 is None else acc2 + term
+                codes[:, j] = np.argmin(acc2, axis=1)  # first-min tie-break
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "centroid_id": best.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    enc = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign_encode, enc_schema
+    )
+    cvec = F.col("centroid_vec").cast("array<double>")
     if query_rows is not None:
         # driver replica (r7): the probe list and per-(query, list) ADC
         # table are Q x nprobe rows by construction — build them at the
