@@ -237,3 +237,43 @@ def test_evaluation_parameters_from_store(spark, code_tables, tmp_path):
         r["run_id"] for r in store.read().select("run_id").collect()
     }))
     assert store.evaluation_parameters(suite_a.fingerprint, run_id=run_id) == params
+
+
+def test_arrow_append_matches_spark_write(spark, tmp_path):
+    """r7: the driver-side pyarrow store append must read back through
+    Spark identically to the repartition(1) Spark write it replaced —
+    same values, same schema, NULLs and array<double> included."""
+    from data_profiler_spark.operators.profile_diff import PROFILE_SCHEMA
+    from data_profiler_spark.sources.results_store import (
+        RESULT_SCHEMA,
+        arrow_append_rows,
+    )
+
+    row = {
+        "run_id": "r1", "suite_fingerprint": "f", "snapshot_id": "",
+        "partition_id": "all", "constraint_id": "c1",
+        "constraint_type": "expect_x", "success": True,
+        "element_count": 10, "unexpected_count": None,
+        "observed_json": '{"v": 1}', "exception_info": None,
+        "group_json": "{}", "violations_json": None,
+        "started_at_ms": 123, "finished_at_ms": 456, "duration_ms": 333,
+    }
+    tuples = [tuple(row.get(f.name) for f in RESULT_SCHEMA.fields)]
+    pa_path, sp_path = str(tmp_path / "pa"), str(tmp_path / "sp")
+    assert arrow_append_rows(pa_path, tuples, RESULT_SCHEMA, "append")
+    spark.createDataFrame(tuples, RESULT_SCHEMA).repartition(1).write.mode(
+        "append"
+    ).parquet(sp_path)
+    a = spark.read.parquet(pa_path)
+    b = spark.read.parquet(sp_path)
+    assert a.schema == b.schema
+    assert a.collect() == b.collect()
+
+    prow = ("r1", "s", "", "{}", "col", 5, 0, 4, 1.0, 2.0, 1.5, 0.1,
+            [0.1, 0.9], None, [1.0, 2.0], '{"a": 3}')
+    assert arrow_append_rows(
+        str(tmp_path / "pa2"), [prow], PROFILE_SCHEMA, "overwrite"
+    )
+    got = spark.read.parquet(str(tmp_path / "pa2")).collect()[0]
+    assert got["quantiles"] == [0.1, 0.9] and got["hist_bins"] is None
+    assert got["top_k_json"] == '{"a": 3}'

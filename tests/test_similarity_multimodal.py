@@ -1110,3 +1110,127 @@ def test_pq_encode_numpy_matches_expr(vectors):
         ).collect()
     }
     assert got == ref and len(got) == 40
+
+
+def test_ivf_assign_numpy_matches_column_path(vectors):
+    """r7: the vectorized assign (taken when centroid rows are
+    driver-resident) must reproduce the Column HOF argmax bit-for-bit —
+    same ascending dot fold, same |c| divisor, first-max == the
+    (csim DESC, cid ASC) tie-break."""
+    from data_profiler_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_like_centroids,
+    )
+
+    df, _ = vectors
+    cents = kmeans_like_centroids(df, "vec_id", "embedding", 6, dim=8)
+    assert getattr(cents, "_centroid_rows", None)  # numpy path taken
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(df, cents, "vec_id", "embedding").collect()
+    }
+    # strip the rider: forces the Column HOF path on identical centroids
+    bare = cents.sparkSession.createDataFrame(
+        cents.collect(), cents.schema
+    )
+    ref = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(df, bare, "vec_id", "embedding").collect()
+    }
+    assert got == ref and len(got) == 40
+
+
+def test_ann_query_rows_paths_match_distributed(vectors):
+    """r7: the local-relation probe sides (query_rows=) must produce
+    exactly the rows of the distributed subplans for bruteforce, IVF and
+    PQ top-k."""
+    from data_profiler_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+        kmeans_like_centroids,
+        pq_encode,
+        pq_topk,
+    )
+
+    df, vecs = vectors
+    q = df.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qrows = [(i, [float(x) for x in vecs[i]]) for i in range(3)]
+
+    def rows(frame):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"], r[2]) for r in frame.collect()
+        )
+
+    assert rows(
+        ann_topk_bruteforce(df, q, k=4, query_rows=qrows)
+    ) == rows(ann_topk_bruteforce(df, q, k=4))
+
+    cents = kmeans_like_centroids(df, "vec_id", "embedding", 6, dim=8)
+    assert rows(
+        ann_topk_ivf(df, q, k=4, n_centroids=6, nprobe=2, centroids=cents,
+                     query_rows=qrows)
+    ) == rows(
+        ann_topk_ivf(df, q, k=4, n_centroids=6, nprobe=2, centroids=cents)
+    )
+
+    qv = df.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    enc = pq_encode(df, cents, "vec_id", "embedding", m=4)
+    assert rows(
+        pq_topk(enc, cents, qv, m=4, k_top=4, query_rows=qrows)
+    ) == rows(pq_topk(enc, cents, qv, m=4, k_top=4))
+
+
+def test_ivfpq_fused_matches_seedwise_reference(vectors):
+    """r7: the fused assign+residual+encode pass must keep ivfpq's top-k
+    identical to an independent numpy reference replaying the documented
+    arithmetic (coarse dot/|c| argmax, residual, per-subspace argmin,
+    ADC sums)."""
+    import numpy as np
+
+    from data_profiler_spark.operators.similarity import ivfpq_topk
+
+    df, vecs = vectors
+    qv = df.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in ivfpq_topk(
+            df, qv, n_coarse=3, nprobe=2, m=4, n_codes=6, k_top=4,
+            query_rows=[(i, [float(x) for x in vecs[i]]) for i in range(2)],
+        ).collect()
+    )
+    v = vecs.astype("float64")
+    C = v[:3]
+    cn = np.sqrt((C * C).sum(axis=1))
+    assign = np.argmax((v @ C.T) / cn, axis=1)
+    R = v - C[assign]
+    RCB = v[:6] - C[np.argmax((v[:6] @ C.T) / cn, axis=1)]
+    sub = 2
+    codes = np.empty((40, 4), dtype=int)
+    for j in range(4):
+        sl = slice(j * sub, (j + 1) * sub)
+        d = R[:, None, sl] - RCB[None, :, sl]
+        codes[:, j] = np.argmin((d * d).sum(axis=2), axis=1)
+    exp = []
+    for qi in range(2):
+        sims = (v[qi] @ C.T) / cn
+        probes = sorted(range(3), key=lambda ci: (-sims[ci], ci))[:2]
+        cand = []
+        for ci in probes:
+            qres = v[qi] - C[ci]
+            lut = np.empty((4, 6))
+            for j in range(4):
+                sl = slice(j * sub, (j + 1) * sub)
+                dd = qres[None, sl] - RCB[:, sl]
+                lut[j] = (dd * dd).sum(axis=1)
+            for di in np.nonzero(assign == ci)[0]:
+                adist = sum(lut[j, codes[di, j]] for j in range(4))
+                cand.append((round(adist, 6), int(di)))
+        cand.sort()
+        exp.extend((qi, rank + 1, di) for rank, (_, di) in enumerate(cand[:4]))
+    assert got == sorted(exp)
