@@ -742,7 +742,9 @@ def connected_components(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy (r7): the count() gate below materializes the edge set;
+        # toPandas / the star rounds then read the persisted blocks
+        .localCheckpoint(eager=False)
     )
     spark = pairs.sparkSession
     if edges.count() <= driver_max_edges:
@@ -789,7 +791,8 @@ def connected_components(
             .union(j.select(F.col("u"), F.col("mv").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the fingerprint job materializes each round's edges
+            .localCheckpoint(eager=False)
         )
         # decimal sum: order-independent and overflow-proof under ANSI mode
         row = small.agg(

@@ -494,7 +494,10 @@ def unigram_logprob(
         # materialization ∝ per-doc token counts buys back a full
         # tokenize+explode+shuffle pass). With a pre-fitted vocab
         # tok_counts is consumed once — no cut, no materialization.
-        tok_counts = tok_counts.localCheckpoint(eager=True)
+        # lazy (r7): the single downstream action materializes the cut at
+        # first compute and the sibling branches read the persisted
+        # blocks — same one-tokenize-pass guarantee, no dedicated job
+        tok_counts = tok_counts.localCheckpoint(eager=False)
         fitted = tok_counts.groupBy("tok").agg(F.sum("__cnt").alias("c"))
         how = "inner"
     else:
@@ -548,8 +551,9 @@ def perplexity_buckets(
         unigram_logprob(df, text_col, ids, vocab=vocab)
         .withColumn("mean_logprob", F.round("mean_logprob", round_to))
         # 1 row/doc — cheap cut so the threshold agg and the final bucket
-        # projection don't each replay the scoring join
-        .localCheckpoint(eager=True)
+        # projection don't each replay the scoring join; lazy (r7): the
+        # threshold agg materializes it, the bucket pass reads the blocks
+        .localCheckpoint(eager=False)
     )
     qs = [i / n_buckets for i in range(1, n_buckets)]
     th_row = scored.agg(
@@ -614,8 +618,9 @@ def dsir_logratio(
         .groupBy(*ids, "__tgt", "tok")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         # cut on the corpus-derived side (same rationale as
-        # unigram_logprob): both models and scoring consume tok_counts
-        .localCheckpoint(eager=True)
+        # unigram_logprob): both models and scoring consume tok_counts;
+        # lazy (r7): the totals broadcast build materializes it
+        .localCheckpoint(eager=False)
     )
     models = tok_counts.groupBy("tok").agg(
         F.sum("__cnt").alias("c_raw"),
